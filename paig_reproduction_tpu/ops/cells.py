@@ -1,0 +1,216 @@
+"""Differentiable-physics ODE cells as pure JAX functions.
+
+Capability parity with the reference's ``nn/network/cells.py`` (reference
+``cells.py:6-107``): per-task Euler integrators with ``SUBSTEPS`` = 5
+sub-steps per frame at ``dt/5``, with learnable physical parameters stored in
+log-space.
+
+State layout: ``pos``/``vel`` are ``[batch, n_objs * 2]`` float arrays,
+object-major ``[x1, y1, x2, y2, ...]`` — matching how the reference's encoder
+concatenates per-object coordinate heads (reference ``blocks.py:101``).
+
+Intended-semantics divergences from the reference (deliberate, documented):
+
+* The reference's torch ``spring_ode_cell.forward`` / ``bouncing_ode_cell
+  .forward`` split the state with width-1 chunks (``torch.split(poss, 1,
+  dim=1)``, reference ``cells.py:32-33,61-62``), which treats object 1's x
+  and y coordinates as two independent 1-D "objects" and never integrates
+  object 2 at all — a mistranslation of the original PAIG TF code (which
+  splits per object). Here the cells integrate every object's 2-D state, the
+  physics the dataset generators actually simulate (reference
+  ``generators.py:322-329``). Tests validate against the generator physics.
+* ``gravity_step`` recomputes ``A = exp(g) * exp(2m)`` from the current
+  parameters on every call, instead of freezing a stale tensor at module
+  construction (reference ``cells.py:94`` computes ``self.A`` once in
+  ``__init__``), so gradients reach ``log_g``.
+
+Everything else — the 1e-4 norm epsilon, the gravity norm clamps
+[1e-1, 1e5] / [1, 170], wall positions at 0/32 with radius 2, dt values —
+matches the reference exactly.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SUBSTEPS = 5  # Euler substeps per frame (reference cells.py:35,64,97)
+
+# Default integration step per frame for each cell (reference
+# cells.py:27,58,91).
+SPRING_DT = 0.3
+BOUNCING_DT = 0.3
+GRAVITY_DT = 0.5
+
+# Bouncing-cell wall geometry (reference cells.py:73-77): image boundaries
+# hard-coded at [0, 32] with an object radius of 2 px.
+WALL_SIZE = 32.0
+BALL_RADIUS = 2.0
+
+
+class CellParams(NamedTuple):
+    """Learnable physics parameters, all stored in log-space.
+
+    Only the fields a given cell uses are meaningful; unused fields ride
+    along as zeros so a single pytree shape serves every task (keeps the
+    train step's pytree structure static across tasks).
+    """
+
+    log_k: jnp.ndarray      # spring constant      (spring cell)
+    log_equil: jnp.ndarray  # equilibrium length   (spring cell)
+    log_g: jnp.ndarray      # gravitational const  (gravity cell)
+    log_m: jnp.ndarray      # mass (frozen)        (gravity cell)
+
+    @classmethod
+    def initial(cls) -> "CellParams":
+        # Reference inits: log(1.0) = 0 for every parameter
+        # (cells.py:28-29,92-93).
+        z = jnp.zeros(())
+        return cls(log_k=z, log_equil=z, log_g=z, log_m=z)
+
+
+def _split_objects(state: jnp.ndarray, n_objs: int) -> jnp.ndarray:
+    """[B, n_objs*2] -> [B, n_objs, 2]."""
+    return state.reshape(state.shape[0], n_objs, 2)
+
+
+def _merge_objects(state: jnp.ndarray) -> jnp.ndarray:
+    """[B, n_objs, 2] -> [B, n_objs*2]."""
+    return state.reshape(state.shape[0], -1)
+
+
+def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
+                dt: float = SPRING_DT):
+    """One frame of 2-object Hooke's-law dynamics (reference cells.py:22-51).
+
+    F = exp(k) * (|p0 - p1| - 2*exp(equil)) * (p0 - p1)/(|p0 - p1| + 1e-4),
+    applied with opposite signs to the two objects, SUBSTEPS Euler substeps.
+    """
+    k = jnp.exp(params.log_k)
+    two_equil = 2.0 * jnp.exp(params.log_equil)
+    h = dt / SUBSTEPS
+
+    def body(_, carry):
+        p, v = carry                      # [B, 2, 2] each
+        diff = p[:, 0] - p[:, 1]          # [B, 2]
+        norm = jnp.sqrt(jnp.abs(jnp.sum(diff * diff, axis=-1,
+                                        keepdims=True)))
+        direction = diff / (norm + 1e-4)
+        force = k * (norm - two_equil) * direction   # [B, 2]
+        v = v + h * jnp.stack([-force, force], axis=1)
+        p = p + h * v
+        return p, v
+
+    p, v = jax.lax.fori_loop(
+        0, SUBSTEPS, body, (_split_objects(pos, 2), _split_objects(vel, 2)),
+        unroll=True)
+    return _merge_objects(p), _merge_objects(v)
+
+
+def bouncing_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
+                  dt: float = BOUNCING_DT):
+    """One frame of free flight with elastic wall bounces
+    (reference cells.py:53-83). No learnable parameters.
+
+    Walls at 0 and WALL_SIZE with radius BALL_RADIUS; position is reflected
+    about the wall and velocity negated, per coordinate.
+    """
+    del params
+    h = dt / SUBSTEPS
+    hi = WALL_SIZE - BALL_RADIUS
+    lo = BALL_RADIUS
+
+    def body(_, carry):
+        p, v = carry                      # [B, n*2] flat; bounce is per-coord
+        p = p + h * v
+        hit_hi = p > hi
+        hit_lo = p < lo
+        v = jnp.where(hit_hi | hit_lo, -v, v)
+        p = jnp.where(hit_hi, 2.0 * hi - p, p)
+        p = jnp.where(hit_lo, 2.0 * lo - p, p)
+        return p, v
+
+    return jax.lax.fori_loop(0, SUBSTEPS, body, (pos, vel), unroll=True)
+
+
+def gravity_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
+                 dt: float = GRAVITY_DT):
+    """One frame of 3-body inverse-square dynamics
+    (reference cells.py:86-106).
+
+    A = exp(g) * exp(2m) is recomputed from the live parameters every call
+    (intended semantics; see module docstring). Norm clamps match the
+    reference: sum-of-squares clamped to [1e-1, 1e5] before sqrt, the norm
+    clamped to [1, 170] before cubing.
+    """
+    A = jnp.exp(params.log_g) * jnp.exp(2.0 * params.log_m)
+    h = dt / SUBSTEPS
+
+    def pair_force(pa, pb):
+        vec = pa - pb                                       # [B, 2]
+        sq = jnp.clip(jnp.sum(vec * vec, axis=-1, keepdims=True), 1e-1, 1e5)
+        norm = jnp.clip(jnp.sqrt(sq), 1.0, 170.0)
+        return vec / (norm ** 3)
+
+    def body(_, carry):
+        p, v = carry                      # [B, 3, 2]
+        f01 = pair_force(p[:, 0], p[:, 1])
+        f12 = pair_force(p[:, 1], p[:, 2])
+        f20 = pair_force(p[:, 2], p[:, 0])
+        force = jnp.stack([f01 - f20, f12 - f01, f20 - f12], axis=1)
+        v = v - h * A * force
+        p = p + h * v
+        return p, v
+
+    p, v = jax.lax.fori_loop(
+        0, SUBSTEPS, body, (_split_objects(pos, 3), _split_objects(vel, 3)),
+        unroll=True)
+    return _merge_objects(p), _merge_objects(v)
+
+
+# Registry mirroring the reference's CELLS dict (physics_models.py:22-27).
+# "lstm" is handled at the model level (models/physics_net.py) because it
+# carries its own neural parameters.
+CELLS = {
+    "spring_ode_cell": (spring_step, SPRING_DT),
+    "bouncing_ode_cell": (bouncing_step, BOUNCING_DT),
+    "gravity_ode_cell": (gravity_step, GRAVITY_DT),
+}
+
+
+def numpy_generator_spring(poss, vels, k, equil, dt, ode_steps):
+    """Ground-truth spring physics as simulated by the dataset generator
+    (reference generators.py:322-329). numpy, used by tests + generators."""
+    poss = np.array(poss, dtype=np.float64)
+    vels = np.array(vels, dtype=np.float64)
+    for _ in range(ode_steps):
+        norm = np.linalg.norm(poss[0] - poss[1])
+        direction = (poss[0] - poss[1]) / norm
+        F = k * (norm - 2 * equil) * direction
+        vels[0] = vels[0] - dt / ode_steps * F
+        vels[1] = vels[1] + dt / ode_steps * F
+        poss = poss + dt / ode_steps * vels
+    return poss, vels
+
+
+def numpy_generator_gravity(poss, vels, g, m, dt, ode_steps):
+    """Ground-truth 3-body physics as simulated by the dataset generator
+    (reference generators.py:602-618). numpy, used by tests + generators."""
+    poss = np.array(poss, dtype=np.float64)
+    vels = np.array(vels, dtype=np.float64)
+    for _ in range(ode_steps):
+        n01 = np.linalg.norm(poss[0] - poss[1])
+        n12 = np.linalg.norm(poss[1] - poss[2])
+        n20 = np.linalg.norm(poss[2] - poss[0])
+        v01 = poss[0] - poss[1]
+        v12 = poss[1] - poss[2]
+        v20 = poss[2] - poss[0]
+        F = np.array([v01 / n01 ** 3 - v20 / n20 ** 3,
+                      v12 / n12 ** 3 - v01 / n01 ** 3,
+                      v20 / n20 ** 3 - v12 / n12 ** 3])
+        F = -g * m * m * F
+        vels = vels + dt / ode_steps * F
+        poss = poss + dt / ode_steps * vels
+    return poss, vels

@@ -1,0 +1,23 @@
+"""Test configuration: run everything on an emulated 8-device CPU mesh.
+
+The reference has no tests (SURVEY.md §4); this suite is new capability. The
+8 virtual CPU devices stand in for a TPU slice so data/tensor-parallel
+``jit``/``shard_map`` code is exercised without hardware.
+"""
+import os
+
+# Must be set before jax is imported anywhere in the test process.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
