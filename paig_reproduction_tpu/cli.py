@@ -1,0 +1,197 @@
+"""CLI entry point — argparse-compatible with the reference runner
+(``runners/torch_run_physics.py:9-36``): identical flag names, defaults and
+quirks (``--anneal_lr`` is ``store_false``: passing it DISABLES annealing,
+reference torch_run_physics.py:16), plus documented TPU-only extensions
+(``--profile_dir``, ``--debug_nans``, ``--data_dir``, ``--seed``,
+``--n_model_shards``).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native JAX version of the PAIG training script.")
+    parser.add_argument("--epochs", type=int, default=10,
+                        help="Number of epochs to train")
+    parser.add_argument("--batch_size", type=int, default=100,
+                        help="Training batch size")
+    parser.add_argument("--save_dir", type=str, default="",
+                        help="Directory to save checkpoint and logs")
+    parser.add_argument("--use_ckpt", action="store_true",
+                        help="Whether to start from scratch or start from "
+                             "checkpoint")
+    parser.add_argument("--ckpt_dir", type=str, default="",
+                        help="Checkpoint directory to use")
+    parser.add_argument("--base_lr", type=float, default=1e-3,
+                        help="Base learning rate")
+    parser.add_argument("--anneal_lr", action="store_false",
+                        help="Whether to anneal lr after 0.75 of total "
+                             "epochs")
+    parser.add_argument("--optimizer", type=str, default="rmsprop",
+                        help="Optimizer to use")
+    parser.add_argument("--save_every_n_epochs", type=int, default=5,
+                        help="Epochs between checkpoint saves")
+    parser.add_argument("--eval_every_n_epochs", type=int, default=1,
+                        help="Epochs between validation run")
+    parser.add_argument("--print_interval", type=int, default=10,
+                        help="Print train metrics every n mini-batches")
+    parser.add_argument("--debug", action="store_true",
+                        help="If true, eval is not run before training")
+    parser.add_argument("--test_mode", action="store_true",
+                        help="If true, only run test set")
+    parser.add_argument("--task", type=str, default="",
+                        help="Type of task.")
+    parser.add_argument("--model", type=str, default="PhysicsNet",
+                        help="Model to use.")
+    parser.add_argument("--recurrent_units", type=int, default=100,
+                        help="Number of units for each lstm, if using "
+                             "black-box dynamics.")
+    parser.add_argument("--lstm_layers", type=int, default=1,
+                        help="Number of lstm cells to use, if using "
+                             "black-box dynamics")
+    parser.add_argument("--cell_type", type=str, default="",
+                        help="Type of pendulum to use.")
+    parser.add_argument("--encoder_type", type=str, default="conv_encoder",
+                        help="Type of encoder to use.")
+    parser.add_argument("--decoder_type", type=str,
+                        default="conv_st_decoder",
+                        help="Type of decoder to use.")
+    parser.add_argument("--autoencoder_loss", type=float, default=0.0,
+                        help="Autoencoder loss weighing.")
+    parser.add_argument("--alt_vel", action="store_true",
+                        help="Whether to use linear velocity computation.")
+    parser.add_argument("--color", action="store_true",
+                        help="Whether images are RGB or grayscale.")
+    parser.add_argument("--datapoints", type=int, default=0,
+                        help="How many datapoints from the dataset to use. "
+                             "Useful for measuring data efficiency. "
+                             "Default=0 uses all data.")
+    # --- TPU-native extensions (not in the reference CLI) -----------------
+    parser.add_argument("--data_dir", type=str, default="",
+                        help="[extension] Root of the datasets tree "
+                             "(default: <repo>/data/datasets)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="[extension] PRNG seed for params/init")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="[extension] Write a jax.profiler trace here")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="[extension] Enable jax_debug_nans")
+    parser.add_argument("--n_model_shards", type=int, default=1,
+                        help="[extension] Size of the tensor-parallel mesh "
+                             "axis (data axis gets the rest)")
+    return parser
+
+
+# Task table (reference torch_run_physics.py:49-75):
+# task -> (data_file, test_data_file, cell_type, seq_len, test_seq_len,
+#          input_steps, pred_steps, input_size)
+TASK_TABLE = {
+    "bouncing_balls": (
+        "bouncing/color_bounce_vx8_vy8_sl12_r2.npz",
+        "bouncing/color_bounce_vx8_vy8_sl30_r2.npz",
+        "bouncing_ode_cell", 12, 30, 4, 6, 32 * 32),
+    "spring_color": (
+        "spring_color/color_spring_vx8_vy8_sl12_r2_k4_e6.npz",
+        "spring_color/color_spring_vx8_vy8_sl30_r2_k4_e6.npz",
+        "spring_ode_cell", 12, 30, 4, 6, 32 * 32),
+    "spring_color_half": (
+        "spring_color_half/color_spring_vx4_vy4_sl12_r2_k4_e6_halfpane.npz",
+        "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz",
+        "spring_ode_cell", 12, 30, 4, 6, 32 * 32),
+    "3bp_color": (
+        "3bp_color/color_3bp_vx2_vy2_sl20_r2_g60_m1_dt05.npz",
+        "3bp_color/color_3bp_vx2_vy2_sl40_r2_g60_m1_dt05.npz",
+        "gravity_ode_cell", 20, 40, 4, 12, 36 * 36),
+    "mnist_spring_color": (
+        "mnist_spring_color/color_mnist_spring_vx8_vy8_sl12_r2_k2_e12.npz",
+        "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz",
+        "spring_ode_cell", 12, 30, 3, 7, 64 * 64),
+}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    logger = logging.getLogger("paig")
+    logger.setLevel(logging.DEBUG)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.DEBUG)
+    ch.setFormatter(
+        logging.Formatter("%(asctime)s - %(name)s - %(message)s"))
+    logger.addHandler(ch)
+
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from paig_reproduction_tpu.data.iterators import get_iterators
+    from paig_reproduction_tpu.models.registry import get_model
+    from paig_reproduction_tpu.parallel.mesh import make_mesh
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    (data_file, test_data_file, cell_type, seq_len, test_seq_len,
+     input_steps, pred_steps, input_size) = TASK_TABLE[args.task]
+
+    data_root = args.data_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.realpath(__file__))),
+        "data", "datasets")
+
+    Model = get_model(args.model)
+    cell = args.cell_type if args.cell_type else cell_type
+    mesh = make_mesh(n_model=args.n_model_shards)
+
+    def build(seq):
+        return Model(
+            task=args.task, recurrent_units=args.recurrent_units,
+            lstm_layers=args.lstm_layers, cell_type=cell, seq_len=seq,
+            input_steps=input_steps, pred_steps=pred_steps,
+            autoencoder_loss=args.autoencoder_loss, alt_vel=args.alt_vel,
+            color=args.color, input_size=input_size,
+            encoder_type=args.encoder_type, decoder_type=args.decoder_type)
+
+    if not args.test_mode:
+        model = build(seq_len)
+        data_iterators = get_iterators(
+            os.path.join(data_root, data_file), conv=True,
+            datapoints=args.datapoints)
+        trainer = Trainer(model, mesh=mesh, seed=args.seed,
+                          profile_dir=args.profile_dir)
+        trainer.get_data(data_iterators)
+        trainer.init_params(data_iterators[0].X[:1])
+        steps_per_epoch = max(
+            1, data_iterators[0].num_examples // args.batch_size)
+        trainer.build_optimizer(args.base_lr, args.optimizer,
+                                args.anneal_lr, epochs=args.epochs,
+                                steps_per_epoch=steps_per_epoch)
+        trainer.initialize_graph(args.save_dir, args.use_ckpt,
+                                 args.ckpt_dir)
+        trainer.train_model(args.epochs, args.batch_size,
+                            args.save_every_n_epochs,
+                            args.eval_every_n_epochs,
+                            args.print_interval, args.debug)
+
+    # Post-training / test-mode evaluation with the longer test sequences
+    # (reference torch_run_physics.py:101-117): same weights, longer
+    # rollout — in JAX just a different static seq_len for the same params.
+    model = build(test_seq_len)
+    data_iterators = get_iterators(
+        os.path.join(data_root, test_data_file), conv=True,
+        datapoints=args.datapoints)
+    trainer = Trainer(model, mesh=mesh, seed=args.seed)
+    trainer.get_data(data_iterators)
+    trainer.init_params(data_iterators[0].X[:1])
+    trainer.build_optimizer(args.base_lr, args.optimizer, args.anneal_lr)
+    trainer.initialize_graph(args.save_dir, True, args.ckpt_dir)
+    trainer.train_model(0, args.batch_size, args.save_every_n_epochs,
+                        args.eval_every_n_epochs, args.print_interval,
+                        args.debug)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""In-memory npz dataset iterators.
+
+Capability parity with the reference ``nn/datasets/iterators.py``: epoch-
+shuffled sequential batching over ``train_x/valid_x/test_x`` arrays of shape
+``[N, T, H, W, C]`` uint8, normalized to float32/255 and transposed to
+channels-first ``[N, T, C, H, W]`` when ``conv=True`` (reference
+``iterators.py:50-69``).
+
+Fixes two reference bugs while keeping the API:
+
+* ``datapoints`` truncation of the train split is actually applied
+  (the reference computes it and then ignores it, ``iterators.py:52-65``).
+* ``sample_random_batch`` uses the random start index it draws (the
+  reference draws one and then ignores it, ``iterators.py:42-47``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class DataIterator:
+    """Epoch-shuffled sequential batch iterator (reference iterators.py:4-47).
+
+    Epoch-counting semantics match the reference exactly: the epoch
+    counter increments when the *next* batch would run past the end, i.e.
+    after the batch that consumed the tail.
+    """
+
+    def __init__(self, X, Y=None, seed=None):
+        self.X = X
+        self.Y = Y
+        self.num_examples = self.X.shape[0]
+        self.epochs_completed = 0
+        self.indices = np.arange(self.num_examples)
+        self._rng = np.random.RandomState(seed) if seed is not None else \
+            np.random
+        self.reset_iteration()
+
+    def reset_iteration(self):
+        self._rng.shuffle(self.indices)
+        self.start_idx = 0
+
+    def get_epoch(self):
+        return self.epochs_completed
+
+    def reset_epoch(self):
+        self.reset_iteration()
+        self.epochs_completed = 0
+
+    def next_batch(self, batch_size):
+        idx = self.indices[self.start_idx:self.start_idx + batch_size]
+        batch_x = self.X[idx]
+        batch_y = self.Y[idx] if self.Y is not None else None
+        self.start_idx += batch_size
+        if self.start_idx + batch_size > self.num_examples:
+            self.reset_iteration()
+            self.epochs_completed += 1
+        return batch_x, batch_y
+
+    def sample_random_batch(self, batch_size):
+        start_idx = np.random.randint(0, self.num_examples - batch_size)
+        batch_x = self.X[start_idx:start_idx + batch_size]
+        batch_y = (self.Y[start_idx:start_idx + batch_size]
+                   if self.Y is not None else None)
+        return batch_x, batch_y
+
+
+def _prep_split(arr: np.ndarray, conv: bool) -> np.ndarray:
+    """uint8 [N, T, H, W, C] -> float32/255, channels-first when conv."""
+    x = arr.astype(np.float32) / 255.0
+    if conv:
+        x = np.transpose(x, (0, 1, 4, 2, 3))          # [N, T, C, H, W]
+    else:
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+    return np.ascontiguousarray(x)
+
+
+def get_iterators(file, conv=False, datapoints=0):
+    """Load a dataset npz and return (train_it, valid_it, test_it)
+    (reference iterators.py:50-69, with the datapoints bug fixed)."""
+    data = np.load(file)
+    train = data["train_x"]
+    if datapoints > 0:
+        train = train[:datapoints]
+    return (
+        DataIterator(X=_prep_split(train, conv)),
+        DataIterator(X=_prep_split(data["valid_x"], conv)),
+        DataIterator(X=_prep_split(data["test_x"], conv)),
+    )

@@ -1,0 +1,435 @@
+"""The training/eval/test runtime.
+
+Capability parity with the reference trainer ``nn/network/base.py:20-218``
+(epoch loop, periodic eval + checkpoint, LR anneal, log.txt + code.zip +
+outputs.npz artifacts, visualization hooks, checkpoint restore semantics
+including the save_dir wipe) — re-designed around a single jitted,
+donated-buffer train step running over a device mesh.
+
+Intended-semantics divergences (documented; SURVEY.md §3.1):
+
+* The training loss consumes the FRESH forward output — physics params and
+  the velocity encoder train end-to-end. The reference optimizes against a
+  stale eval-time output so only the autoencoder path gets gradients.
+* LR annealing actually happens (optax schedule); the reference's is a
+  no-op.
+* ``visualize_sequence`` runs the model on the batch it draws; the
+  reference renders outputs of the *previous* eval batch against a freshly
+  drawn batch's ground truth (mismatched pairs, physics_models.py:249-259).
+* example%d.jpg frames are transposed CHW->HWC; the reference reshapes
+  (physics_models.py:271), which scrambles color channels into pixels.
+
+Metric definitions, artifact names and log formats are identical.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import shutil
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paig_reproduction_tpu.models.physics_net import (
+    PhysicsNet,
+    compute_losses,
+)
+from paig_reproduction_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from paig_reproduction_tpu.train import optimizers as opt_lib
+from paig_reproduction_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from paig_reproduction_tpu.utils.misc import log_metrics, zipdir
+from paig_reproduction_tpu.utils.viz import gallery, gif
+
+logger = logging.getLogger("paig")
+root_path = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                         "..", "..")
+
+
+class Trainer:
+    """Owns model params, optimizer state, the jitted step functions and
+    all run artifacts. One Trainer per (model config, mesh)."""
+
+    def __init__(self, model: PhysicsNet, mesh=None, seed: int = 0,
+                 profile_dir: str = ""):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.profile_dir = profile_dir
+        self.params = None
+        self.opt_state = None
+        self.step = 0
+        self.tx = None
+        self._train_step = None
+        self._eval_step = None
+        self.train_metrics: Dict[str, Any] = {}
+        self.eval_metrics: Dict[str, Any] = {}
+        self.extra_train_fns = []
+        self.extra_valid_fns = [(self.visualize_sequence, [], {})]
+        self.extra_test_fns = [(self.visualize_sequence, [], {})]
+
+    # ----- data ------------------------------------------------------------
+    def get_data(self, data_iterators):
+        (self.train_iterator, self.valid_iterator,
+         self.test_iterator) = data_iterators
+
+    def get_iterator(self, type):
+        return {"train": self.train_iterator,
+                "valid": self.valid_iterator,
+                "test": self.test_iterator}[type]
+
+    def get_batch(self, batch_size, iterator):
+        batch_x, batch_y = iterator.next_batch(batch_size)
+        feed_dict = {"input": batch_x}
+        if batch_y is not None:
+            feed_dict["target"] = batch_y
+        return feed_dict, (batch_x, batch_y)
+
+    # ----- setup -----------------------------------------------------------
+    def init_params(self, sample_batch: np.ndarray):
+        rng = jax.random.PRNGKey(self.seed)
+        variables = self.model.init(rng, jnp.asarray(sample_batch[:1]))
+        self.params = variables["params"]
+
+    def build_optimizer(self, base_lr, optimizer="rmsprop", anneal_lr=True,
+                        epochs: int = 0, steps_per_epoch: int = 1):
+        """Mirrors reference build_optimizer (physics_models.py:144-149) +
+        the working anneal schedule."""
+        self.base_lr = base_lr
+        self.anneal_lr = anneal_lr
+        schedule = opt_lib.lr_schedule(base_lr, epochs, steps_per_epoch,
+                                       anneal_lr)
+        assert self.params is not None, "init_params before build_optimizer"
+        self.tx = opt_lib.build_optimizer(optimizer, schedule, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+        self._compile_steps()
+
+    def _compile_steps(self):
+        model, tx = self.model, self.tx
+        b_shard = batch_sharding(self.mesh)
+        p_shard = param_shardings(self.params, self.mesh)
+        self._batch_sharding = b_shard
+
+        # Place params/opt state according to the mesh rules once.
+        self.params = jax.device_put(self.params, p_shard)
+        self.opt_state = jax.device_put(
+            self.opt_state,
+            jax.tree.map(lambda _: jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()), self.opt_state,
+                is_leaf=lambda x: isinstance(x, jnp.ndarray)))
+
+        def loss_fn(params, batch):
+            out, aux = model.apply({"params": params}, batch)
+            train_loss, eval_losses = compute_losses(
+                model, batch, out, aux["recons_out"])
+            return train_loss, eval_losses
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch):
+            (loss, eval_losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            metrics = dict(eval_losses, train_loss=loss)
+            return params, opt_state, metrics
+
+        @jax.jit
+        def eval_step(params, batch):
+            loss, eval_losses = loss_fn(params, batch)
+            return dict(eval_losses, train_loss=loss)
+
+        @jax.jit
+        def forward(params, batch):
+            return model.apply({"params": params}, batch)
+
+        def forward_extras(params, batch):
+            return model.apply({"params": params}, batch, with_extras=True)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._forward = forward
+        self._forward_extras = jax.jit(forward_extras)
+
+    # ----- checkpoint / save_dir semantics ----------------------------------
+    def initialize_graph(self, save_dir, use_ckpt, ckpt_dir=""):
+        """Reference save_dir semantics (base.py:65-94): a fresh run WIPES
+        an existing save_dir; --use_ckpt restores from ckpt_dir or
+        save_dir."""
+        self.save_dir = save_dir
+        restore, restore_dir = False, save_dir
+        if os.path.exists(save_dir):
+            if use_ckpt:
+                restore = True
+                restore_dir = ckpt_dir if ckpt_dir else save_dir
+            else:
+                logger.info("Folder exists, deleting...")
+                shutil.rmtree(save_dir)
+                os.makedirs(save_dir)
+        else:
+            os.makedirs(save_dir)
+            if use_ckpt:
+                restore = True
+                restore_dir = ckpt_dir
+
+        if restore:
+            print(f"Loading model from: {restore_dir}/model.ckpt")
+            target = {"params": self.params, "opt_state": self.opt_state,
+                      "step": jnp.asarray(self.step)}
+            restored = restore_checkpoint(restore_dir, target)
+            self.params = restored["params"]
+            self.opt_state = restored["opt_state"]
+            self.step = int(restored["step"])
+
+    def save(self):
+        save_checkpoint(self.save_dir, {
+            "params": self.params, "opt_state": self.opt_state,
+            "step": jnp.asarray(self.step)})
+
+    # ----- logging ----------------------------------------------------------
+    def add_train_logger(self):
+        log_path = os.path.join(self.save_dir, "log.txt")
+        fh = logging.FileHandler(log_path)
+        fh.setFormatter(
+            logging.Formatter("%(asctime)s - %(name)s - %(message)s"))
+        logger.addHandler(fh)
+
+    def run_extra_fns(self, type):
+        fns = {"train": self.extra_train_fns,
+               "valid": self.extra_valid_fns}.get(type, self.extra_test_fns)
+        for fn, args, kwargs in fns:
+            fn(*args, **kwargs)
+
+    # ----- core loops --------------------------------------------------------
+    def _put_batch(self, batch_np):
+        batch = jnp.asarray(batch_np)
+        n_data = self.mesh.shape["data"]
+        if batch.shape[0] % n_data:
+            # Odd-sized batches (tiny viz/eval sets) can't shard over the
+            # data axis — replicate instead of failing.
+            return jax.device_put(
+                batch, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
+        return jax.device_put(batch, self._batch_sharding)
+
+    def train_model(self, epochs, batch_size, save_every_n_epochs,
+                    eval_every_n_epochs, print_interval, debug=False):
+        """Reference train loop semantics (base.py:112-172): pre-train
+        eval, per-epoch batch loop keyed on the iterator's epoch counter,
+        periodic eval/save, final test eval."""
+        self.batch_size = batch_size
+        self.add_train_logger()
+        zipdir(root_path, self.save_dir)
+        logger.info("\n".join(sys.argv))
+
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+
+        if not debug and epochs > 0:
+            valid_metrics_results = self.eval_performance(
+                batch_size, type="valid")
+            log_metrics(logger, "valid - epoch=%s" % 0,
+                        valid_metrics_results)
+
+        step = self.step
+        t0 = time.perf_counter()
+        frames = 0
+        for ep in range(1, epochs + 1):
+            while self.train_iterator.epochs_completed < ep:
+                feed_dict, _ = self.get_batch(batch_size,
+                                              self.train_iterator)
+                batch = self._put_batch(feed_dict["input"])
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, batch)
+                frames += batch.shape[0] * batch.shape[1]
+
+                self.run_extra_fns("train")
+
+                if step % print_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    self.train_metrics = {
+                        "train_loss": metrics["train_loss"]}
+                    self.eval_metrics = {
+                        k: metrics[k] for k in
+                        ("eval_pred_loss", "eval_extrap_loss",
+                         "eval_recons_loss")}
+                    log_metrics(logger, "train - iter=%s" % step,
+                                self.train_metrics)
+                step += 1
+                self.step = step
+
+            if ep % eval_every_n_epochs == 0:
+                print("eval running")
+                valid_metrics_results = self.eval_performance(
+                    batch_size, type="valid")
+                log_metrics(logger, "valid - epoch=%s" % ep,
+                            valid_metrics_results)
+
+            if ep % save_every_n_epochs == 0:
+                print("saving")
+                self.save()
+
+        if epochs > 0:
+            jax.block_until_ready(self.params)
+            dt = time.perf_counter() - t0
+            logger.info("throughput: %.1f video frames/sec (%d frames, "
+                        "%.1fs incl. eval)", frames / dt, frames, dt)
+        if self.profile_dir:
+            jax.profiler.stop_trace()
+
+        test_metrics_results = self.eval_performance(batch_size,
+                                                     type="test")
+        log_metrics(logger, "test - epoch=%s" % epochs,
+                    test_metrics_results)
+        return test_metrics_results
+
+    def eval_performance(self, batch_size, type="valid"):
+        """Reference eval loop (base.py:174-218): whole-epoch metric
+        averaging, batch shrink for small datasets, outputs.npz dump, then
+        the visualization hooks."""
+        eval_metrics_results = {k: [] for k in
+                                ("eval_pred_loss", "eval_extrap_loss",
+                                 "eval_recons_loss")}
+        eval_outputs = {"input": [], "output": []}
+
+        eval_iterator = self.get_iterator(type)
+        eval_iterator.reset_epoch()
+        if eval_iterator.X.shape[0] < 100:
+            batch_size = eval_iterator.X.shape[0]
+
+        while eval_iterator.get_epoch() < 1:
+            feed_dict, _ = self.get_batch(batch_size, eval_iterator)
+            batch = self._put_batch(feed_dict["input"])
+            metrics = self._eval_step(self.params, batch)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for k in eval_metrics_results:
+                eval_metrics_results[k].append(metrics[k])
+            eval_outputs["input"].append(feed_dict["input"])
+            eval_outputs["output"].append(
+                [metrics["eval_pred_loss"], metrics["eval_extrap_loss"],
+                 metrics["eval_recons_loss"]])
+
+        eval_metrics_results = {
+            k: np.mean(np.asarray(v), axis=0)
+            for k, v in eval_metrics_results.items()}
+        np.savez_compressed(
+            os.path.join(self.save_dir, "outputs.npz"),
+            input=np.concatenate(eval_outputs["input"], axis=0),
+            output=np.array(eval_outputs["output"]))
+
+        self.run_extra_fns(type)
+        return eval_metrics_results
+
+    # ----- visualization ------------------------------------------------------
+    def visualize_sequence(self):
+        """Artifact parity with reference visualize_sequence
+        (physics_models.py:247-330): example%d.jpg (rows: prediction /
+        ground truth / reconstruction), animation%d.gif, templates.jpg,
+        extra_outputs.npz."""
+        import matplotlib
+        matplotlib.use("agg")
+        import matplotlib.cm as cm
+        import matplotlib.pyplot as plt
+
+        model = self.model
+        batch_size = min(getattr(self, "batch_size", 8),
+                         int(os.environ.get("PAIG_VIZ_EXAMPLES", "8")))
+        feed_dict, (batch_x, _) = self.get_batch(batch_size,
+                                                 self.test_iterator)
+        batch_x = batch_x[:batch_size]
+        batch = self._put_batch(batch_x)
+        output, aux = self._forward_extras(self.params, batch)
+        output_seq = np.asarray(output)
+        recons_seq = np.asarray(aux["recons_out"])
+        pos_vel_seq = np.asarray(aux["pos_vel_seq"])
+        extras = jax.tree.map(np.asarray, aux["extras"])
+
+        for i in range(min(2, batch_size)):
+            logger.info(pos_vel_seq[i])
+
+        output_seq = np.concatenate(
+            [batch_x[:, :model.input_steps], output_seq], axis=1)
+        recons_seq = np.concatenate(
+            [recons_seq,
+             np.zeros((batch_size, model.extrap_steps)
+                      + recons_seq.shape[2:])], axis=1)
+
+        h = w = model.img_size
+        ch = model.conv_ch
+        norm = plt.Normalize(0.0, 1.0)
+        figsize = None
+        for i in range(batch_x.shape[0]):
+            to_concat = [output_seq[i], batch_x[i], recons_seq[i]]
+            total_seq = np.concatenate(to_concat, axis=0)   # [3T, C, H, W]
+            total_seq = np.transpose(total_seq, (0, 2, 3, 1))
+            result = gallery(total_seq, ncols=batch_x.shape[1])
+            figsize = (result.shape[1] // h, result.shape[0] // w)
+            fig, ax = plt.subplots(figsize=figsize)
+            ax.imshow(np.squeeze(result), interpolation="nearest",
+                      cmap=cm.Greys_r, norm=norm)
+            ax.get_xaxis().set_visible(False)
+            ax.get_yaxis().set_visible(False)
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.save_dir, "example%d.jpg" % i))
+            plt.close(fig)
+
+        # gif: bordered output vs ground-truth strips (reference
+        # physics_models.py:286-301)
+        out_nhwc = np.transpose(output_seq, (0, 1, 3, 4, 2))
+        gt_nhwc = np.transpose(batch_x, (0, 1, 3, 4, 2))
+        if ch == 1:
+            out_nhwc = np.repeat(out_nhwc, 3, axis=-1)
+            gt_nhwc = np.repeat(gt_nhwc, 3, axis=-1)
+        bordered_out = 0.5 * np.ones(
+            [batch_size, model.seq_len, h + 2, w + 2, 3])
+        bordered_gt = 0.5 * np.ones_like(bordered_out)
+        bordered_out[:, :, 1:-1, 1:-1] = out_nhwc
+        bordered_gt[:, :, 1:-1, 1:-1] = gt_nhwc
+        strip_out = np.concatenate(list(bordered_out), axis=-2)
+        strip_gt = np.concatenate(list(bordered_gt), axis=-2)
+        frames = np.concatenate([strip_out, strip_gt], axis=1)
+        gif(os.path.join(self.save_dir,
+                         "animation%d.gif" % (batch_x.shape[0] - 1)),
+            frames * 255, fps=7, scale=3)
+
+        # extra_outputs.npz (keys per reference physics_models.py:304-313)
+        np.savez_compressed(
+            os.path.join(self.save_dir, "extra_outputs.npz"),
+            contents=extras["contents"],
+            templates=extras["templates"],
+            background_content=extras["background_content"],
+            transf_contents=extras["transf_contents"],
+            transf_masks=extras["transf_masks"],
+            enc_masks=extras["enc_masks"],
+            masked_objs=extras["masked_objs"])
+
+        # templates.jpg: sigmoid(contents) above sigmoid(template - 5)
+        # (reference physics_models.py:314-328)
+        contents = np.transpose(extras["contents"], (0, 2, 3, 1))
+        templates = np.transpose(extras["templates"], (0, 2, 3, 1))
+        contents = 1 / (1 + np.exp(-contents))
+        templates = 1 / (1 + np.exp(-(templates - 5)))
+        if ch == 1:
+            contents = np.tile(contents, [1, 1, 1, 3])
+        templates = np.tile(templates, [1, 1, 1, 3])
+        total_seq = np.concatenate([contents, templates], axis=0)
+        result = gallery(total_seq, ncols=model.n_objs)
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.imshow(np.squeeze(result), interpolation="nearest",
+                  cmap=cm.Greys_r, norm=norm)
+        ax.get_xaxis().set_visible(False)
+        ax.get_yaxis().set_visible(False)
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.save_dir, "templates.jpg"))
+        plt.close("all")

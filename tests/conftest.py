@@ -18,6 +18,22 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    import jax
+
+    # The environment's TPU plugin overrides jax_platforms via
+    # sitecustomize, so the env var alone is not enough — force the CPU
+    # backend explicitly before any backend initialization.
+    jax.config.update("jax_platforms", "cpu")
+
+    # Persistent XLA compilation cache: first run pays the compile cost,
+    # reruns are fast. Safe to delete .jax_cache at any time.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

@@ -1,0 +1,93 @@
+"""End-to-end integration: synthesize a tiny dataset, train via the CLI
+path on the emulated 8-device CPU mesh, assert losses drop and every
+artifact of the reference's artifact set appears (SURVEY.md §4 integration
+tier)."""
+import os
+
+import numpy as np
+import pytest
+
+from paig_reproduction_tpu.data import generators as g
+
+
+@pytest.fixture(scope="module")
+def tiny_spring_data(tmp_path_factory):
+    """A miniature spring_color-layout dataset tree."""
+    root = tmp_path_factory.mktemp("datasets")
+    # The CLI task table hard-codes seq_len 12 (train) / 30 (test), so the
+    # fixture files must carry those real lengths.
+    for name, seq in (("color_spring_vx8_vy8_sl12_r2_k4_e6.npz", 12),
+                      ("color_spring_vx8_vy8_sl30_r2_k4_e6.npz", 30)):
+        g.generate_spring_balls_dataset(
+            str(root / "spring_color" / name),
+            train_set_size=16, valid_set_size=8, test_set_size=8,
+            seq_len=seq, img_size=[32, 32], radius=2, dt=0.3, k=4, equil=6,
+            vx0_max=2.0, vy0_max=2.0, color=True, seed=1)
+    return str(root)
+
+
+def test_cli_end_to_end(tiny_spring_data, tmp_path):
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "run")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "2"
+    main([
+        "--task=spring_color", "--epochs=3", "--batch_size=8",
+        "--save_dir", save_dir, "--base_lr=3e-4", "--optimizer=rmsprop",
+        "--autoencoder_loss=3.0", "--color", "--save_every_n_epochs=2",
+        "--eval_every_n_epochs=1", "--print_interval=1",
+        "--data_dir", tiny_spring_data,
+    ])
+
+    # Artifact set parity (reference base.py/physics_models.py)
+    for artifact in ("log.txt", "code.zip", "outputs.npz",
+                     "extra_outputs.npz", "example0.jpg", "templates.jpg",
+                     "animation1.gif"):
+        assert os.path.exists(os.path.join(save_dir, artifact)), artifact
+    assert os.path.exists(os.path.join(save_dir, "model.ckpt"))
+
+    # log.txt format: k=v lines with the reference metric names
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "train - iter=" in log
+    assert "valid - epoch=" in log
+    assert "test - epoch=" in log
+    assert "eval_pred_loss=" in log
+
+    # outputs.npz layout
+    with np.load(os.path.join(save_dir, "outputs.npz")) as d:
+        assert "input" in d and "output" in d
+        assert d["input"].ndim == 5
+        assert d["output"].shape[1] == 3      # (pred, extrap, recons)
+
+    with np.load(os.path.join(save_dir, "extra_outputs.npz")) as d:
+        for k in ("contents", "templates", "background_content",
+                  "transf_contents", "transf_masks", "enc_masks",
+                  "masked_objs"):
+            assert k in d, k
+
+    # training reduced the loss: compare first and last train iters
+    train_lines = [ln for ln in log.splitlines() if "train - iter=" in ln]
+    first = float(train_lines[0].split("train_loss=")[1].split()[0])
+    last = float(train_lines[-1].split("train_loss=")[1].split()[0])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_resume_from_checkpoint(tiny_spring_data, tmp_path):
+    """--use_ckpt restores params+opt_state+step (capability superset of
+    the reference, which restores params only)."""
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "run2")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    common = [
+        "--task=spring_color", "--batch_size=8", "--save_dir", save_dir,
+        "--base_lr=3e-4", "--autoencoder_loss=3.0", "--color",
+        "--save_every_n_epochs=1", "--eval_every_n_epochs=5",
+        "--print_interval=1", "--data_dir", tiny_spring_data, "--debug",
+    ]
+    main(common + ["--epochs=1"])
+    assert os.path.exists(os.path.join(save_dir, "model.ckpt"))
+    # resume: must not wipe the dir, must load the checkpoint
+    main(common + ["--epochs=1", "--use_ckpt"])
+    assert os.path.exists(os.path.join(save_dir, "log.txt"))
