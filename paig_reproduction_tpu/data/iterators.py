@@ -47,14 +47,35 @@ class DataIterator:
         self.reset_iteration()
         self.epochs_completed = 0
 
-    def next_batch(self, batch_size):
-        idx = self.indices[self.start_idx:self.start_idx + batch_size]
-        batch_x = self.X[idx]
-        batch_y = self.Y[idx] if self.Y is not None else None
+    def next_index_batch(self, batch_size):
+        """Indices of the next batch, advancing the epoch state exactly as
+        ``next_batch`` does. Used by the device-resident input path, where
+        only the (tiny) index vector crosses to the device."""
+        # .copy(): the slice is a view into self.indices, which
+        # reset_iteration() reshuffles in place below.
+        idx = self.indices[self.start_idx:self.start_idx
+                           + batch_size].copy()
         self.start_idx += batch_size
         if self.start_idx + batch_size > self.num_examples:
             self.reset_iteration()
             self.epochs_completed += 1
+        return idx
+
+    def next_index_batches(self, batch_size, max_k):
+        """Up to ``max_k`` consecutive index batches [k, batch_size],
+        stopping early at an epoch boundary so per-epoch eval/save
+        semantics are preserved."""
+        out = []
+        for _ in range(max_k):
+            out.append(self.next_index_batch(batch_size))
+            if self.start_idx == 0:       # epoch just rolled over
+                break
+        return np.stack(out)
+
+    def next_batch(self, batch_size):
+        idx = self.next_index_batch(batch_size)
+        batch_x = self.X[idx]
+        batch_y = self.Y[idx] if self.Y is not None else None
         return batch_x, batch_y
 
     def sample_random_batch(self, batch_size):
@@ -77,13 +98,24 @@ def _prep_split(arr: np.ndarray, conv: bool) -> np.ndarray:
 
 def get_iterators(file, conv=False, datapoints=0):
     """Load a dataset npz and return (train_it, valid_it, test_it)
-    (reference iterators.py:50-69, with the datapoints bug fixed)."""
+    (reference iterators.py:50-69, with the datapoints bug fixed).
+
+    The train iterator additionally carries ``raw_uint8`` — the original
+    uint8 frames in the model layout — enabling the device-resident input
+    path (the whole split lives in HBM as uint8; per-step batches are
+    gathered and normalized on device, so only index vectors cross the
+    host->device boundary each step).
+    """
     data = np.load(file)
     train = data["train_x"]
     if datapoints > 0:
         train = train[:datapoints]
+    train_it = DataIterator(X=_prep_split(train, conv))
+    if conv and train.ndim == 5:
+        train_it.raw_uint8 = np.ascontiguousarray(
+            np.transpose(train, (0, 1, 4, 2, 3)))
     return (
-        DataIterator(X=_prep_split(train, conv)),
+        train_it,
         DataIterator(X=_prep_split(data["valid_x"], conv)),
         DataIterator(X=_prep_split(data["test_x"], conv)),
     )

@@ -62,11 +62,14 @@ class Trainer:
     all run artifacts. One Trainer per (model config, mesh)."""
 
     def __init__(self, model: PhysicsNet, mesh=None, seed: int = 0,
-                 profile_dir: str = ""):
+                 profile_dir: str = "", fused_input: bool = True):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
         self.profile_dir = profile_dir
+        # Device-resident uint8 input path with lax.scan-fused optimizer
+        # steps; falls back to per-step host feeding when unavailable.
+        self.fused_input = fused_input
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -145,6 +148,32 @@ class Trainer:
             metrics = dict(eval_losses, train_loss=loss)
             return params, opt_state, metrics
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_chunk(params, opt_state, data_u8, idxs):
+            """K fused optimizer steps in one dispatch (lax.scan).
+
+            data_u8: the whole train split resident in HBM as uint8
+            [N, T, C, H, W]; idxs: [K, B] int32. Batch gather + /255
+            normalization happen in-graph, so only the tiny index matrix
+            crosses host->device per chunk. This removes the per-step
+            dispatch latency that dominates this small model's step time
+            (new capability; the reference feeds one host batch per step,
+            base.py:139-141).
+            """
+
+            def body(carry, idx):
+                p, o = carry
+                batch = data_u8[idx].astype(jnp.float32) / 255.0
+                (loss, eval_losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, batch)
+                updates, o = tx.update(grads, o, p)
+                p = jax.tree.map(lambda x, u: x + u, p, updates)
+                return (p, o), dict(eval_losses, train_loss=loss)
+
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), idxs)
+            return params, opt_state, metrics
+
         @jax.jit
         def eval_step(params, batch):
             loss, eval_losses = loss_fn(params, batch)
@@ -158,9 +187,11 @@ class Trainer:
             return model.apply({"params": params}, batch, with_extras=True)
 
         self._train_step = train_step
+        self._train_chunk = train_chunk
         self._eval_step = eval_step
         self._forward = forward
         self._forward_extras = jax.jit(forward_extras)
+        self._train_u8 = None  # device-resident train split (lazy)
 
     # ----- checkpoint / save_dir semantics ----------------------------------
     def initialize_graph(self, save_dir, use_ckpt, ckpt_dir=""):
@@ -205,6 +236,13 @@ class Trainer:
             logging.Formatter("%(asctime)s - %(name)s - %(message)s"))
         logger.addHandler(fh)
 
+    def _log_train_metrics(self, metrics, step):
+        self.train_metrics = {"train_loss": metrics["train_loss"]}
+        self.eval_metrics = {
+            k: metrics[k] for k in ("eval_pred_loss", "eval_extrap_loss",
+                                    "eval_recons_loss")}
+        log_metrics(logger, "train - iter=%s" % step, self.train_metrics)
+
     def run_extra_fns(self, type):
         fns = {"train": self.extra_train_fns,
                "valid": self.extra_valid_fns}.get(type, self.extra_test_fns)
@@ -242,11 +280,46 @@ class Trainer:
             log_metrics(logger, "valid - epoch=%s" % 0,
                         valid_metrics_results)
 
+        use_fused = (self.fused_input
+                     and getattr(self.train_iterator, "raw_uint8", None)
+                     is not None
+                     and self.train_iterator.num_examples >= batch_size
+                     and batch_size % self.mesh.shape["data"] == 0)
+        if use_fused and self._train_u8 is None:
+            # Upload the whole train split once, as uint8 (4x smaller
+            # than f32), replicated across the mesh.
+            self._train_u8 = jax.device_put(
+                self.train_iterator.raw_uint8,
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec()))
+
         step = self.step
         t0 = time.perf_counter()
         frames = 0
+        idx_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, "data"))
         for ep in range(1, epochs + 1):
             while self.train_iterator.epochs_completed < ep:
+                if use_fused:
+                    k = max(1, print_interval)
+                    idxs = self.train_iterator.next_index_batches(
+                        batch_size, k).astype(np.int32)
+                    idxs_d = jax.device_put(idxs, idx_sharding)
+                    self.params, self.opt_state, metrics = \
+                        self._train_chunk(self.params, self.opt_state,
+                                          self._train_u8, idxs_d)
+                    n_done = idxs.shape[0]
+                    frames += n_done * batch_size * self.model.seq_len
+                    self.run_extra_fns("train")
+                    for i in range(n_done):
+                        if (step + i) % print_interval == 0:
+                            m = {kk: float(v[i])
+                                 for kk, v in metrics.items()}
+                            self._log_train_metrics(m, step + i)
+                    step += n_done
+                    self.step = step
+                    continue
+
                 feed_dict, _ = self.get_batch(batch_size,
                                               self.train_iterator)
                 batch = self._put_batch(feed_dict["input"])
@@ -258,14 +331,7 @@ class Trainer:
 
                 if step % print_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    self.train_metrics = {
-                        "train_loss": metrics["train_loss"]}
-                    self.eval_metrics = {
-                        k: metrics[k] for k in
-                        ("eval_pred_loss", "eval_extrap_loss",
-                         "eval_recons_loss")}
-                    log_metrics(logger, "train - iter=%s" % step,
-                                self.train_metrics)
+                    self._log_train_metrics(metrics, step)
                 step += 1
                 self.step = step
 
