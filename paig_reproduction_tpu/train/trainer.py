@@ -62,7 +62,8 @@ class Trainer:
     all run artifacts. One Trainer per (model config, mesh)."""
 
     def __init__(self, model: PhysicsNet, mesh=None, seed: int = 0,
-                 profile_dir: str = "", fused_input: bool = True):
+                 profile_dir: str = "", fused_input: bool = True,
+                 native_loader: bool = False):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
@@ -70,6 +71,8 @@ class Trainer:
         # Device-resident uint8 input path with lax.scan-fused optimizer
         # steps; falls back to per-step host feeding when unavailable.
         self.fused_input = fused_input
+        # C++ prefetching batcher for the host path (native/paig_data.cpp)
+        self.native_loader = native_loader
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -293,13 +296,43 @@ class Trainer:
                 jax.sharding.NamedSharding(self.mesh,
                                            jax.sharding.PartitionSpec()))
 
+        native = None
+        raw = getattr(self.train_iterator, "raw_uint8", None)
+        if (self.native_loader and not use_fused and raw is not None
+                and batch_size <= raw.shape[0]):
+            from paig_reproduction_tpu.data.native import (
+                NativeBatcher,
+                NativeLoaderUnavailable,
+            )
+            try:
+                native = NativeBatcher(raw, batch_size, seed=self.seed)
+                logger.info("using native C++ prefetching loader")
+            except NativeLoaderUnavailable as e:
+                logger.info("native loader unavailable (%s); "
+                            "falling back to python iterator", e)
+
         step = self.step
         t0 = time.perf_counter()
         frames = 0
         idx_sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(None, "data"))
         for ep in range(1, epochs + 1):
-            while self.train_iterator.epochs_completed < ep:
+            while (native.epochs_completed if native is not None
+                   else self.train_iterator.epochs_completed) < ep:
+                if native is not None:
+                    batch = self._put_batch(native.next_batch_x())
+                    self.params, self.opt_state, metrics = \
+                        self._train_step(self.params, self.opt_state,
+                                         batch)
+                    frames += batch.shape[0] * batch.shape[1]
+                    self.run_extra_fns("train")
+                    if step % print_interval == 0:
+                        self._log_train_metrics(
+                            {k: float(v) for k, v in metrics.items()},
+                            step)
+                    step += 1
+                    self.step = step
+                    continue
                 if use_fused:
                     k = max(1, print_interval)
                     idxs = self.train_iterator.next_index_batches(
