@@ -84,6 +84,41 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_model_shards", type=int, default=1,
                         help="[extension] Size of the tensor-parallel mesh "
                              "axis (data axis gets the rest)")
+    parser.add_argument("--physics_lr_mult", type=float, default=1.0,
+                        help="[extension] LR multiplier for the learnable "
+                             "physical parameters (the reference hints at "
+                             "per-group LRs but never implements them)")
+    parser.add_argument("--template_center_loss", type=float, default=0.0,
+                        help="[extension] Weight of the template-centering "
+                             "penalty; prevents off-center templates from "
+                             "collapsing the learnable physics")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="[extension] Use the C++ prefetching batch "
+                             "loader for the host input path")
+    parser.add_argument("--coarse_loss", type=float, default=0.0,
+                        help="[extension] Weight of the blurred-image "
+                             "auxiliary prediction loss (training only)")
+    parser.add_argument("--vel_anchor", type=float, default=0.0,
+                        help="[extension] Weight of the velocity-anchor "
+                             "penalty (velocity head vs encoder finite "
+                             "differences)")
+    parser.add_argument("--pos_consistency", type=float, default=0.0,
+                        help="[extension] Weight of the position-space "
+                             "consistency loss (rollout positions vs the "
+                             "encoder's positions for the same frames)")
+    parser.add_argument("--grad_clip", type=float, default=0.0,
+                        help="[extension] Global-norm gradient clipping "
+                             "(0 = off)")
+    parser.add_argument("--learn_frame_offset", action="store_true",
+                        help="[extension] Learn per-object coordinate "
+                             "offsets between encoder space and the "
+                             "physical frame (absorbs off-center "
+                             "templates)")
+    parser.add_argument("--aux_warmup_epochs", type=int, default=0,
+                        help="[extension] Epochs of pure reference loss "
+                             "before the extension losses activate "
+                             "(object discovery first, physics alignment "
+                             "second)")
     return parser
 
 
@@ -127,6 +162,15 @@ def main(argv=None):
 
     import jax
 
+    # Persistent compilation cache: repeat runs of the same config skip
+    # the (slow) first compile. Override location with PAIG_COMPILE_CACHE.
+    cache_dir = os.environ.get(
+        "PAIG_COMPILE_CACHE", os.path.expanduser("~/.cache/paig_jax"))
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -153,7 +197,11 @@ def main(argv=None):
             input_steps=input_steps, pred_steps=pred_steps,
             autoencoder_loss=args.autoencoder_loss, alt_vel=args.alt_vel,
             color=args.color, input_size=input_size,
-            encoder_type=args.encoder_type, decoder_type=args.decoder_type)
+            encoder_type=args.encoder_type, decoder_type=args.decoder_type,
+            template_center_loss=args.template_center_loss,
+            coarse_loss=args.coarse_loss, vel_anchor=args.vel_anchor,
+            pos_consistency=args.pos_consistency,
+            learn_frame_offset=args.learn_frame_offset)
 
     if not args.test_mode:
         model = build(seq_len)
@@ -161,14 +209,18 @@ def main(argv=None):
             os.path.join(data_root, data_file), conv=True,
             datapoints=args.datapoints)
         trainer = Trainer(model, mesh=mesh, seed=args.seed,
-                          profile_dir=args.profile_dir)
+                          profile_dir=args.profile_dir,
+                          native_loader=args.native_loader)
         trainer.get_data(data_iterators)
         trainer.init_params(data_iterators[0].X[:1])
         steps_per_epoch = max(
             1, data_iterators[0].num_examples // args.batch_size)
         trainer.build_optimizer(args.base_lr, args.optimizer,
                                 args.anneal_lr, epochs=args.epochs,
-                                steps_per_epoch=steps_per_epoch)
+                                steps_per_epoch=steps_per_epoch,
+                                physics_lr_mult=args.physics_lr_mult,
+                                grad_clip=args.grad_clip,
+                                aux_warmup_epochs=args.aux_warmup_epochs)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
         trainer.train_model(args.epochs, args.batch_size,

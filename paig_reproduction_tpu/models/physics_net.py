@@ -70,6 +70,45 @@ class PhysicsNet(nn.Module):
     input_size: int = 32 * 32
     encoder_type: str = "conv_encoder"
     decoder_type: str = "conv_st_decoder"
+    # [extension, default off] weight of a template-centering penalty.
+    # Unsupervised object discovery can settle on templates whose content
+    # sits off-center; the encoder then reports ball_center + offset, and
+    # offset coordinates do not obey the physical force law, collapsing
+    # the learnable physics (k -> 0). Penalizing the distance between the
+    # template-mask centroid and the template center removes that failure
+    # mode without changing any reference metric definition.
+    template_center_loss: float = 0.0
+    # [extension, default off] weight of a blurred-image auxiliary
+    # prediction loss (training only; eval metrics unchanged). Pixel
+    # losses on 4-px objects give zero gradient once prediction and
+    # target stop overlapping; matching 7x7-box-blurred frames extends
+    # the gradient's capture range so the physical parameters receive
+    # signal from the whole rollout horizon.
+    coarse_loss: float = 0.0
+    # [extension, default off] weight of a velocity-anchor penalty tying
+    # the velocity encoder's output to the finite difference of the last
+    # two encoded positions (/dt), removing one axis of co-adaptation
+    # between the velocity head and the physical parameters.
+    vel_anchor: float = 0.0
+    # [extension, default off] learn a per-object coordinate-frame offset
+    # b_o: the rollout integrates physics in pos + b_o and decodes at
+    # (pos_phys - b_o). Unsupervised discovery leaves each template's
+    # content off-center by some constant, so encoder coordinates are
+    # true centers + per-object offsets — and offset coordinates do NOT
+    # obey the force law (a spring between shifted points is not a
+    # spring). The offsets absorb that nuisance DOF exactly; with a
+    # centered encoder they train to zero.
+    learn_frame_offset: bool = False
+    # [extension, default off] weight of a position-space consistency
+    # loss: the rollout positions for the pred window are regressed onto
+    # the (stop-gradient) encoder positions of the same frames. The pixel
+    # loss has a ~object-radius capture range — once predicted and target
+    # objects stop overlapping, the physical parameters get zero gradient
+    # and collapse to ballistic motion; the coordinate-space loss is
+    # smooth over the whole domain and pulls (k, equil, g) and the
+    # velocity head toward the dynamics the encoder actually observes.
+    # Still fully unsupervised (targets are the model's own encodings).
+    pos_consistency: float = 0.0
 
     # ----- derived static properties -------------------------------------
     @property
@@ -190,25 +229,85 @@ class PhysicsNet(nn.Module):
         else:
             step_fn, dt = cells.CELLS[self.cell_type]
             cell_params = self._cell_params()
+            if self.learn_frame_offset:
+                frame_off = self.param(
+                    "frame_offset", nn.initializers.zeros,
+                    (self.coord_units // 2,))
+            else:
+                frame_off = jnp.zeros((self.coord_units // 2,), x.dtype)
 
             def body(carry, _):
-                p, v = carry
-                p, v = step_fn(cell_params, p, v, dt)
-                frame, _ = st_decode(assets, p, cfg)
-                return (p, v), (frame, jnp.concatenate([p, v], axis=1))
+                p_phys, v = carry
+                p_phys, v = step_fn(cell_params, p_phys, v, dt)
+                # BPTT stabilizer: identity forward, clipped cotangent
+                # backward (see ops/cells.clip_cotangent).
+                p_phys = cells.clip_cotangent(p_phys)
+                v = cells.clip_cotangent(v)
+                p_enc = p_phys - frame_off
+                frame, _ = st_decode(assets, p_enc, cfg)
+                return (p_phys, v), (frame,
+                                     jnp.concatenate([p_enc, v], axis=1))
 
             (_, _), (output_seq, pos_vel_roll) = jax.lax.scan(
-                body, (pos, vel), None, length=n_steps)
+                body, (pos + frame_off, vel), None, length=n_steps)
             # scan stacks on axis 0 (time): -> [B, T, ...]
             output_seq = jnp.moveaxis(output_seq, 0, 1)
             pos_vel_seq = jnp.concatenate(
                 [jnp.concatenate([pos, vel], axis=1)[:, None],
                  jnp.moveaxis(pos_vel_roll, 0, 1)], axis=1)
 
+        # Template-centering penalty (see class docstring field note):
+        # squared distance between each template mask's centroid and the
+        # template center, in template pixels.
+        mask = jax.nn.sigmoid(template_raw)            # [o, T, T]
+        coords = jnp.arange(self.tmpl_size, dtype=mask.dtype)
+        total = jnp.sum(mask, axis=(1, 2)) + 1e-6
+        cy = jnp.sum(mask.sum(axis=2) * coords, axis=1) / total
+        cx = jnp.sum(mask.sum(axis=1) * coords, axis=1) / total
+        center = (self.tmpl_size - 1) / 2.0
+        center_penalty = jnp.sum((cy - center) ** 2 + (cx - center) ** 2)
+
+        # Velocity-anchor penalty: ||vel - (p_{s-1} - p_{s-2})/dt||^2.
+        vel_anchor_penalty = jnp.zeros((), x.dtype)
+        if self.input_steps > 1 and self.cell_type in cells.CELLS:
+            _, cell_dt = cells.CELLS[self.cell_type]
+            vel_fd = (enc_pos[:, self.input_steps - 1]
+                      - enc_pos[:, self.input_steps - 2]) / cell_dt
+            vel_anchor_penalty = jnp.mean((vel - vel_fd) ** 2)
+
+        # Blurred-image auxiliary prediction loss (box blur 7x7, SAME).
+        coarse_pred_loss = jnp.zeros((), x.dtype)
+        if self.coarse_loss > 0.0:
+            target = x[:, self.input_steps:]           # [B, Tr, H, W, C]
+            tr = target.shape[1]
+
+            def blur(frames):
+                f = frames.reshape(b * tr, img, img, ch)
+                f = jax.lax.reduce_window(
+                    f, 0.0, jax.lax.add, (1, 7, 7, 1), (1, 1, 1, 1),
+                    "SAME") / 49.0
+                return f.reshape(b, tr, img, img, ch)
+
+            diff = blur(target) - blur(output_seq)
+            coarse_pred_loss = jnp.mean(
+                jnp.sum(diff ** 2, axis=(2, 3, 4)))
+
+        # Position-space consistency: rollout step t produces the state of
+        # frame input_steps+t; the encoder saw those frames too.
+        cu2 = self.coord_units // 2
+        roll_pos = pos_vel_seq[:, 1:1 + self.pred_steps, :cu2]
+        enc_tgt = jax.lax.stop_gradient(enc_pos[:, self.input_steps:])
+        pos_consistency_loss = jnp.mean(
+            jnp.sum((roll_pos - enc_tgt) ** 2, axis=-1))
+
         aux: Dict[str, Any] = {
             "recons_out": recons_out.transpose(0, 1, 4, 2, 3),  # NCHW out
             "enc_pos": enc_pos,
             "pos_vel_seq": pos_vel_seq,
+            "center_penalty": center_penalty,
+            "vel_anchor_penalty": vel_anchor_penalty,
+            "coarse_pred_loss": coarse_pred_loss,
+            "pos_consistency_loss": pos_consistency_loss,
         }
         if with_extras:
             # Extras for visualize_sequence / extra_outputs.npz parity
@@ -252,7 +351,10 @@ class PhysicsNet(nn.Module):
 
 
 def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
-                   output_seq: jnp.ndarray, recons_out: jnp.ndarray):
+                   output_seq: jnp.ndarray, recons_out: jnp.ndarray,
+                   center_penalty=None, vel_anchor_penalty=None,
+                   coarse_pred_loss=None, pos_consistency_loss=None,
+                   aux_scale=1.0):
     """Loss definitions, identical to the reference
     (physics_models.py:119-142): squared error summed over (C, H, W),
     meaned over batch/time slices.
@@ -276,6 +378,21 @@ def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
     train_loss = pred_loss
     if model.autoencoder_loss > 0.0:
         train_loss = train_loss + model.autoencoder_loss * recons_loss
+    # Extension losses, gated by aux_scale (0 during --aux_warmup_epochs:
+    # unsupervised object discovery needs the pure reference loss first,
+    # or the physics-alignment terms collapse the templates).
+    if model.template_center_loss > 0.0 and center_penalty is not None:
+        train_loss = train_loss + aux_scale \
+            * model.template_center_loss * center_penalty
+    if model.vel_anchor > 0.0 and vel_anchor_penalty is not None:
+        train_loss = train_loss + aux_scale * model.vel_anchor \
+            * vel_anchor_penalty
+    if model.coarse_loss > 0.0 and coarse_pred_loss is not None:
+        train_loss = train_loss + aux_scale * model.coarse_loss \
+            * coarse_pred_loss
+    if model.pos_consistency > 0.0 and pos_consistency_loss is not None:
+        train_loss = train_loss + aux_scale * model.pos_consistency \
+            * pos_consistency_loss
 
     return train_loss, {
         "eval_pred_loss": pred_loss,

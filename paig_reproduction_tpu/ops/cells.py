@@ -38,6 +38,40 @@ import numpy as np
 
 SUBSTEPS = 5  # Euler substeps per frame (reference cells.py:35,64,97)
 
+# Global-norm ceiling for cotangents flowing backward through one rollout
+# frame (see clip_cotangent). Generous: legitimate pixel/position-loss
+# cotangents are O(10).
+COTANGENT_LIMIT = 1e3
+
+
+def clip_cotangent(x, limit: float = COTANGENT_LIMIT):
+    """Identity in the forward pass; clips the cotangent's global norm in
+    the backward pass.
+
+    Backward through the rollout multiplies per-substep Jacobians whose
+    norm is unbounded near object collisions (the spring direction term
+    scales like 1/(|p0-p1| + 1e-4), reference cells.py:37) — sustained
+    near-coincident objects (typical early in training) overflow the
+    cotangents to inf/NaN even though the forward stays finite. Applying
+    this between rollout frames is the classic BPTT gradient clip; it
+    changes no forward numerics and is inactive for healthy gradients.
+    """
+
+    @jax.custom_vjp
+    def f(y):
+        return y
+
+    def fwd(y):
+        return y, None
+
+    def bwd(_, g):
+        nrm = jnp.sqrt(jnp.sum(g * g))
+        scale = jnp.minimum(1.0, limit / (nrm + 1e-30))
+        return (g * scale,)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
 # Default integration step per frame for each cell (reference
 # cells.py:27,58,91).
 SPRING_DT = 0.3
@@ -95,10 +129,23 @@ def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
     def body(_, carry):
         p, v = carry                      # [B, 2, 2] each
         diff = p[:, 0] - p[:, 1]          # [B, 2]
-        norm = jnp.sqrt(jnp.abs(jnp.sum(diff * diff, axis=-1,
-                                        keepdims=True)))
+        # +1e-8 inside the sqrt: grad(sqrt) is infinite at 0 and the two
+        # objects encode to near-identical positions at init; the
+        # reference's sqrt(abs(.)) (cells.py:36) never sees a gradient
+        # because its training path is broken (SURVEY.md §3.1).
+        norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True)
+                        + 1e-8)
         direction = diff / (norm + 1e-4)
         force = k * (norm - two_equil) * direction   # [B, 2]
+        # Force clamp, analogous to the reference gravity cell's norm
+        # clamps (cells.py:99-100): the force Jacobian scales like
+        # 1/(norm + 1e-4), and backward through 5 substeps x T frames
+        # multiplies those factors — sustained near-coincident objects
+        # (typical at init) overflow the cotangents to inf/NaN. True
+        # forces in the task family are O(1e2); the clamp is inactive on
+        # physical trajectories and zeroes the Jacobian on explosive
+        # ones.
+        force = jnp.clip(force, -1e3, 1e3)
         v = v + h * jnp.stack([-force, force], axis=1)
         p = p + h * v
         return p, v

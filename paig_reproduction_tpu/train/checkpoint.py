@@ -31,22 +31,52 @@ def save_checkpoint(save_dir: str, state_tree) -> str:
     return path
 
 
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
 def restore_checkpoint(restore_dir: str, target_tree):
-    """Restore into the structure/dtypes of ``target_tree``."""
+    """Restore into the structure/dtypes of ``target_tree``.
+
+    Name-aware partial restore: leaves are matched by pytree path (orbax
+    serializes tuples as lists, so paths are compared on key names where
+    available and position otherwise). Leaves present in the target but
+    absent from the checkpoint keep their (freshly initialized) values —
+    so a model extended with new optional parameters (e.g.
+    --learn_frame_offset) can resume an older run. Extra checkpoint
+    leaves are ignored with the same warning.
+    """
     path = os.path.abspath(os.path.join(restore_dir, CKPT_NAME))
     if not os.path.exists(path):
         raise FileNotFoundError(f"No checkpoint at {path}")
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
-    flat_r, treedef_r = jax.tree_util.tree_flatten(restored)
-    flat_t, treedef_t = jax.tree_util.tree_flatten(target_tree)
-    if treedef_r != treedef_t:
-        # Orbax serializes tuples/namedtuples as dicts/lists; rebuild by
-        # flattened order, which is stable for a fixed model config.
-        if len(flat_r) != len(flat_t):
-            raise ValueError(
-                f"Checkpoint structure mismatch: {len(flat_r)} leaves vs "
-                f"{len(flat_t)} expected")
-    out = [jax.numpy.asarray(r, dtype=t.dtype).reshape(t.shape)
-           for r, t in zip(flat_r, flat_t)]
-    return jax.tree_util.tree_unflatten(treedef_t, out)
+
+    flat_r = {_path_str(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(restored)[0]}
+    flat_t, treedef_t = jax.tree_util.tree_flatten_with_path(target_tree)
+
+    out = []
+    missing = []
+    for p, t in flat_t:
+        key = _path_str(p)
+        if key in flat_r:
+            out.append(jax.numpy.asarray(
+                flat_r[key], dtype=t.dtype).reshape(t.shape))
+        else:
+            missing.append(key)
+            out.append(t)
+    if missing:
+        import logging
+        logging.getLogger("paig").info(
+            "checkpoint restore: %d target leaves not in checkpoint, "
+            "keeping initialized values: %s", len(missing), missing[:5])
+    extra = set(flat_r) - {_path_str(p) for p, _ in flat_t}
+    if extra:
+        import logging
+        logging.getLogger("paig").info(
+            "checkpoint restore: ignoring %d extra leaves: %s",
+            len(extra), sorted(extra)[:5])
+    leaves_only = jax.tree_util.tree_structure(target_tree)
+    return jax.tree_util.tree_unflatten(leaves_only, out)

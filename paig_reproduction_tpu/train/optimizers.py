@@ -31,6 +31,12 @@ OPTIMIZERS = {
 # Parameter names that are never trained (reference requires_grad=False).
 FROZEN_PARAM_NAMES = ("log_m",)
 
+# The learnable physical parameters (scalar, log-space). The reference
+# hints at but never implements per-group learning rates ("Uncomment
+# lines below to have different learning rates for physics and vision
+# components", physics_models.py:145); physics_lr_mult realizes it.
+PHYSICS_PARAM_NAMES = ("log_k", "log_equil", "log_g")
+
 
 def lr_schedule(base_lr: float, epochs: int, steps_per_epoch: int,
                 anneal_lr: bool) -> Union[float, Callable]:
@@ -48,20 +54,36 @@ def lr_schedule(base_lr: float, epochs: int, steps_per_epoch: int,
         base_lr, {boundary: 1.0 / 5.0})
 
 
-def build_optimizer(name: str, schedule, params) -> optax.GradientTransformation:
+def build_optimizer(name: str, schedule, params,
+                    physics_lr_mult: float = 1.0,
+                    grad_clip: float = 0.0
+                    ) -> optax.GradientTransformation:
     if name not in OPTIMIZERS:
         raise KeyError(f"Unknown optimizer {name!r}; "
                        f"available: {sorted(OPTIMIZERS)}")
     tx = OPTIMIZERS[name](schedule)
+    if grad_clip > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
 
     def label(path, _):
         names = [str(getattr(p, "key", getattr(p, "name", "")))
                  for p in path]
-        return "frozen" if any(n in FROZEN_PARAM_NAMES for n in names) \
-            else "train"
+        if any(n in FROZEN_PARAM_NAMES for n in names):
+            return "frozen"
+        if physics_lr_mult != 1.0 and \
+                any(n in PHYSICS_PARAM_NAMES for n in names):
+            return "physics"
+        return "train"
 
     labels = jax.tree_util.tree_map_with_path(label, params)
-    if all(v == "train" for v in jax.tree_util.tree_leaves(labels)):
+    label_set = set(jax.tree_util.tree_leaves(labels))
+    if label_set == {"train"}:
         return tx
-    return optax.multi_transform(
-        {"train": tx, "frozen": optax.set_to_zero()}, labels)
+    branches = {"train": tx}
+    if "frozen" in label_set:
+        branches["frozen"] = optax.set_to_zero()
+    if "physics" in label_set:
+        branches["physics"] = optax.chain(
+            OPTIMIZERS[name](schedule),
+            optax.scale(physics_lr_mult))
+    return optax.multi_transform(branches, labels)

@@ -73,6 +73,8 @@ class Trainer:
         self.fused_input = fused_input
         # C++ prefetching batcher for the host path (native/paig_data.cpp)
         self.native_loader = native_loader
+        # Steps before the extension losses activate (--aux_warmup_epochs)
+        self.aux_warmup_steps = 0
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -109,7 +111,10 @@ class Trainer:
         self.params = variables["params"]
 
     def build_optimizer(self, base_lr, optimizer="rmsprop", anneal_lr=True,
-                        epochs: int = 0, steps_per_epoch: int = 1):
+                        epochs: int = 0, steps_per_epoch: int = 1,
+                        physics_lr_mult: float = 1.0,
+                        grad_clip: float = 0.0,
+                        aux_warmup_epochs: int = 0):
         """Mirrors reference build_optimizer (physics_models.py:144-149) +
         the working anneal schedule."""
         self.base_lr = base_lr
@@ -117,7 +122,10 @@ class Trainer:
         schedule = opt_lib.lr_schedule(base_lr, epochs, steps_per_epoch,
                                        anneal_lr)
         assert self.params is not None, "init_params before build_optimizer"
-        self.tx = opt_lib.build_optimizer(optimizer, schedule, self.params)
+        self.aux_warmup_steps = aux_warmup_epochs * steps_per_epoch
+        self.tx = opt_lib.build_optimizer(optimizer, schedule, self.params,
+                                          physics_lr_mult=physics_lr_mult,
+                                          grad_clip=grad_clip)
         self.opt_state = self.tx.init(self.params)
         self.step = 0
         self._compile_steps()
@@ -136,23 +144,31 @@ class Trainer:
                 self.mesh, jax.sharding.PartitionSpec()), self.opt_state,
                 is_leaf=lambda x: isinstance(x, jnp.ndarray)))
 
-        def loss_fn(params, batch):
+        def loss_fn(params, batch, aux_scale=1.0):
             out, aux = model.apply({"params": params}, batch)
             train_loss, eval_losses = compute_losses(
-                model, batch, out, aux["recons_out"])
+                model, batch, out, aux["recons_out"],
+                aux.get("center_penalty"),
+                aux.get("vel_anchor_penalty"),
+                aux.get("coarse_pred_loss"),
+                aux.get("pos_consistency_loss"),
+                aux_scale=aux_scale)
             return train_loss, eval_losses
 
+        warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch):
+        def train_step(params, opt_state, batch, step):
+            scale = (step >= warmup).astype(jnp.float32)
             (loss, eval_losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
+                loss_fn, has_aux=True)(params, batch, scale)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             metrics = dict(eval_losses, train_loss=loss)
             return params, opt_state, metrics
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, data_u8, idxs):
+        def train_chunk(params, opt_state, data_u8, idxs, step0):
             """K fused optimizer steps in one dispatch (lax.scan).
 
             data_u8: the whole train split resident in HBM as uint8
@@ -164,17 +180,20 @@ class Trainer:
             base.py:139-141).
             """
 
-            def body(carry, idx):
+            def body(carry, xs):
                 p, o = carry
+                idx, step = xs
+                scale = (step >= warmup).astype(jnp.float32)
                 batch = data_u8[idx].astype(jnp.float32) / 255.0
                 (loss, eval_losses), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(p, batch)
+                    loss_fn, has_aux=True)(p, batch, scale)
                 updates, o = tx.update(grads, o, p)
                 p = jax.tree.map(lambda x, u: x + u, p, updates)
                 return (p, o), dict(eval_losses, train_loss=loss)
 
+            steps = step0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
             (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), idxs)
+                body, (params, opt_state), (idxs, steps))
             return params, opt_state, metrics
 
         @jax.jit
@@ -323,7 +342,8 @@ class Trainer:
                     batch = self._put_batch(native.next_batch_x())
                     self.params, self.opt_state, metrics = \
                         self._train_step(self.params, self.opt_state,
-                                         batch)
+                                         batch,
+                                         jnp.asarray(step, jnp.int32))
                     frames += batch.shape[0] * batch.shape[1]
                     self.run_extra_fns("train")
                     if step % print_interval == 0:
@@ -340,7 +360,8 @@ class Trainer:
                     idxs_d = jax.device_put(idxs, idx_sharding)
                     self.params, self.opt_state, metrics = \
                         self._train_chunk(self.params, self.opt_state,
-                                          self._train_u8, idxs_d)
+                                          self._train_u8, idxs_d,
+                                          jnp.asarray(step, jnp.int32))
                     n_done = idxs.shape[0]
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
@@ -357,7 +378,8 @@ class Trainer:
                                               self.train_iterator)
                 batch = self._put_batch(feed_dict["input"])
                 self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, batch)
+                    self.params, self.opt_state, batch,
+                    jnp.asarray(step, jnp.int32))
                 frames += batch.shape[0] * batch.shape[1]
 
                 self.run_extra_fns("train")
