@@ -160,6 +160,13 @@ def main(argv=None):
         logging.Formatter("%(asctime)s - %(name)s - %(message)s"))
     logger.addHandler(ch)
 
+    import numpy as np
+
+    # Deterministic runs: --seed also seeds the global numpy RNG that
+    # drives dataset shuffling (the reference leaves it unseeded, making
+    # object-discovery outcomes irreproducible across invocations).
+    np.random.seed(args.seed)
+
     import jax
 
     # Persistent compilation cache: repeat runs of the same config skip

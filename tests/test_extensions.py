@@ -1,0 +1,119 @@
+"""Tests for the flag-gated training extensions (aux losses, warmup,
+frame offsets, physics LR multiplier)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from paig_reproduction_tpu.models import PhysicsNet
+from paig_reproduction_tpu.models.physics_net import compute_losses
+from paig_reproduction_tpu.ops import cells
+from paig_reproduction_tpu.train.optimizers import build_optimizer
+
+
+def _model(**kw):
+    cfg = dict(task="spring_color", cell_type="spring_ode_cell",
+               seq_len=12, input_steps=4, pred_steps=6,
+               autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    cfg.update(kw)
+    return PhysicsNet(**cfg)
+
+
+def _inp(seed=0, b=2):
+    return jnp.asarray(np.random.RandomState(seed).rand(b, 12, 3, 32, 32),
+                       jnp.float32)
+
+
+def test_aux_losses_present_and_gated():
+    model = _model(template_center_loss=0.5, pos_consistency=1.0,
+                   vel_anchor=1.0, coarse_loss=1.0)
+    inp = _inp()
+    params = model.init(jax.random.PRNGKey(0), inp)
+    out, aux = model.apply(params, inp)
+    for k in ("center_penalty", "vel_anchor_penalty", "coarse_pred_loss",
+              "pos_consistency_loss"):
+        assert np.isfinite(float(aux[k])), k
+
+    def total(scale):
+        tl, _ = compute_losses(model, inp, out, aux["recons_out"],
+                               aux["center_penalty"],
+                               aux["vel_anchor_penalty"],
+                               aux["coarse_pred_loss"],
+                               aux["pos_consistency_loss"],
+                               aux_scale=scale)
+        return float(tl)
+
+    base_tl, _ = compute_losses(
+        PhysicsNet(**{**{f: getattr(model, f)
+                         for f in ("task", "cell_type", "seq_len",
+                                   "input_steps", "pred_steps",
+                                   "autoencoder_loss", "color",
+                                   "input_size")}}),
+        inp, out, aux["recons_out"])
+    # scale 0 == pure reference loss; scale 1 strictly larger
+    assert abs(total(0.0) - float(base_tl)) < 1e-3
+    assert total(1.0) > total(0.0)
+
+
+def test_frame_offset_param_and_gradient():
+    model = _model(learn_frame_offset=True, pos_consistency=1.0)
+    inp = _inp()
+    params = model.init(jax.random.PRNGKey(0), inp)
+    assert params["params"]["frame_offset"].shape == (4,)
+
+    def loss(p):
+        out, aux = model.apply(p, inp)
+        tl, _ = compute_losses(model, inp, out, aux["recons_out"],
+                               pos_consistency_loss=aux[
+                                   "pos_consistency_loss"])
+        return tl
+
+    g = jax.grad(loss)(params)["params"]["frame_offset"]
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+    # zero offsets leave the forward identical to the base model
+    base = _model()
+    p_base = base.init(jax.random.PRNGKey(0), inp)
+    out_base, _ = base.apply(p_base, inp)
+    p0 = jax.tree.map(lambda x: x, params)
+    out_off, _ = model.apply(p0, inp)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_base),
+                               atol=1e-5)
+
+
+def test_physics_lr_mult_scales_updates():
+    model = _model()
+    params = model.init(jax.random.PRNGKey(0), _inp())["params"]
+    tx1 = build_optimizer("sgd", 0.1, params, physics_lr_mult=1.0)
+    tx5 = build_optimizer("sgd", 0.1, params, physics_lr_mult=5.0)
+    g = jax.tree.map(jnp.ones_like, params)
+    u1, _ = tx1.update(g, tx1.init(params), params)
+    u5, _ = tx5.update(g, tx5.init(params), params)
+    np.testing.assert_allclose(float(u5["log_k"]),
+                               5.0 * float(u1["log_k"]), rtol=1e-5)
+    np.testing.assert_allclose(float(u5["encoder"]["TorchDense_0"]["bias"][0]),
+                               float(u1["encoder"]["TorchDense_0"]["bias"][0]),
+                               rtol=1e-6)
+
+
+def test_grad_clip_bounds_update():
+    model = _model()
+    params = model.init(jax.random.PRNGKey(0), _inp())["params"]
+    tx = build_optimizer("sgd", 1.0, params, grad_clip=1.0)
+    g = jax.tree.map(lambda x: jnp.full_like(x, 100.0), params)
+    u, _ = tx.update(g, tx.init(params), params)
+    total = np.sqrt(sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(u)))
+    assert total <= 1.0 + 1e-4
+
+
+def test_cotangent_clip_identity_forward():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.float32)
+    y = cells.clip_cotangent(x, 10.0)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def f(z):
+        return jnp.sum(cells.clip_cotangent(z * 1e6, 1.0) ** 2)
+
+    g = jax.grad(f)(x)
+    assert float(jnp.sqrt(jnp.sum(g ** 2))) <= 1e6 * 1.0 + 1e-3
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -41,8 +41,11 @@ def main(argv=None):
     (data_file, _, cell_type, seq_len, _, input_steps, pred_steps,
      input_size) = TASK_TABLE[args.task]
 
+    import numpy as np
+
     results = {}
     for seed in args.seeds:
+        np.random.seed(seed)   # data-shuffle determinism (matches cli.py)
         model = get_model("PhysicsNet")(
             task=args.task, cell_type=cell_type, seq_len=seq_len,
             input_steps=input_steps, pred_steps=pred_steps,
@@ -60,7 +63,7 @@ def main(argv=None):
                                 f"{args.task}_seed{seed}")
         trainer.initialize_graph(save_dir, False)
         metrics = trainer.train_model(
-            args.epochs, args.batch_size, save_every_n_epochs=10 ** 9,
+            args.epochs, args.batch_size, save_every_n_epochs=args.epochs,
             eval_every_n_epochs=max(1, args.epochs // 2),
             print_interval=100, debug=True)
         results[seed] = {k: float(v) for k, v in metrics.items()}
