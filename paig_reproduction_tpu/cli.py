@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "before the extension losses activate "
                              "(object discovery first, physics alignment "
                              "second)")
+    parser.add_argument("--cell_substeps", type=int, default=5,
+                        help="[extension] Euler substeps per rollout frame "
+                             "(reference: 5; the data generators use 10)")
+    parser.add_argument("--recons_warmup", action="store_true",
+                        help="[extension] Also gate the prediction term "
+                             "during --aux_warmup_epochs (pure "
+                             "autoencoder discovery phase)")
     return parser
 
 
@@ -208,7 +215,9 @@ def main(argv=None):
             template_center_loss=args.template_center_loss,
             coarse_loss=args.coarse_loss, vel_anchor=args.vel_anchor,
             pos_consistency=args.pos_consistency,
-            learn_frame_offset=args.learn_frame_offset)
+            learn_frame_offset=args.learn_frame_offset,
+            recons_warmup=args.recons_warmup,
+            cell_substeps=args.cell_substeps)
 
     if not args.test_mode:
         model = build(seq_len)

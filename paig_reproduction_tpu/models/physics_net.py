@@ -90,6 +90,18 @@ class PhysicsNet(nn.Module):
     # two encoded positions (/dt), removing one axis of co-adaptation
     # between the velocity head and the physical parameters.
     vel_anchor: float = 0.0
+    # [extension, default off] during --aux_warmup_epochs also gate the
+    # PREDICTION term, training pure autoencoder first. Unsupervised
+    # object discovery is most reliable under recons-only training — the
+    # reference does this by accident (its pred term reads a stale
+    # detached output, SURVEY.md §3.1), and live rollout gradients from
+    # step 0 measurably degrade discovery.
+    recons_warmup: bool = False
+    # [extension] Euler substeps per rollout frame. 5 matches the
+    # reference cells (cells.py:35); the dataset generators integrate
+    # with 10 (generators.py:323), so 10 lets the model class match the
+    # data's discretization exactly.
+    cell_substeps: int = 5
     # [extension, default off] learn a per-object coordinate-frame offset
     # b_o: the rollout integrates physics in pos + b_o and decodes at
     # (pos_phys - b_o). Unsupervised discovery leaves each template's
@@ -238,7 +250,8 @@ class PhysicsNet(nn.Module):
 
             def body(carry, _):
                 p_phys, v = carry
-                p_phys, v = step_fn(cell_params, p_phys, v, dt)
+                p_phys, v = step_fn(cell_params, p_phys, v, dt,
+                                    substeps=self.cell_substeps)
                 # BPTT stabilizer: identity forward, clipped cotangent
                 # backward (see ops/cells.clip_cotangent).
                 p_phys = cells.clip_cotangent(p_phys)
@@ -375,7 +388,8 @@ def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
     pred_loss = jnp.mean(loss[:, :model.pred_steps])
     extrap_loss = jnp.mean(loss[:, model.pred_steps:])
 
-    train_loss = pred_loss
+    pred_weight = aux_scale if model.recons_warmup else 1.0
+    train_loss = pred_weight * pred_loss
     if model.autoencoder_loss > 0.0:
         train_loss = train_loss + model.autoencoder_loss * recons_loss
     # Extension losses, gated by aux_scale (0 during --aux_warmup_epochs:

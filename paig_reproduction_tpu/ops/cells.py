@@ -116,7 +116,7 @@ def _merge_objects(state: jnp.ndarray) -> jnp.ndarray:
 
 
 def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
-                dt: float = SPRING_DT):
+                dt: float = SPRING_DT, substeps: int = SUBSTEPS):
     """One frame of 2-object Hooke's-law dynamics (reference cells.py:22-51).
 
     F = exp(k) * (|p0 - p1| - 2*exp(equil)) * (p0 - p1)/(|p0 - p1| + 1e-4),
@@ -124,7 +124,7 @@ def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
     """
     k = jnp.exp(params.log_k)
     two_equil = 2.0 * jnp.exp(params.log_equil)
-    h = dt / SUBSTEPS
+    h = dt / substeps
 
     def body(_, carry):
         p, v = carry                      # [B, 2, 2] each
@@ -151,13 +151,13 @@ def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
         return p, v
 
     p, v = jax.lax.fori_loop(
-        0, SUBSTEPS, body, (_split_objects(pos, 2), _split_objects(vel, 2)),
+        0, substeps, body, (_split_objects(pos, 2), _split_objects(vel, 2)),
         unroll=True)
     return _merge_objects(p), _merge_objects(v)
 
 
 def bouncing_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
-                  dt: float = BOUNCING_DT):
+                  dt: float = BOUNCING_DT, substeps: int = SUBSTEPS):
     """One frame of free flight with elastic wall bounces
     (reference cells.py:53-83). No learnable parameters.
 
@@ -165,7 +165,7 @@ def bouncing_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
     about the wall and velocity negated, per coordinate.
     """
     del params
-    h = dt / SUBSTEPS
+    h = dt / substeps
     hi = WALL_SIZE - BALL_RADIUS
     lo = BALL_RADIUS
 
@@ -179,11 +179,11 @@ def bouncing_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
         p = jnp.where(hit_lo, 2.0 * lo - p, p)
         return p, v
 
-    return jax.lax.fori_loop(0, SUBSTEPS, body, (pos, vel), unroll=True)
+    return jax.lax.fori_loop(0, substeps, body, (pos, vel), unroll=True)
 
 
 def gravity_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
-                 dt: float = GRAVITY_DT):
+                 dt: float = GRAVITY_DT, substeps: int = SUBSTEPS):
     """One frame of 3-body inverse-square dynamics
     (reference cells.py:86-106).
 
@@ -193,7 +193,7 @@ def gravity_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
     clamped to [1, 170] before cubing.
     """
     A = jnp.exp(params.log_g) * jnp.exp(2.0 * params.log_m)
-    h = dt / SUBSTEPS
+    h = dt / substeps
 
     def pair_force(pa, pb):
         vec = pa - pb                                       # [B, 2]
@@ -212,7 +212,7 @@ def gravity_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
         return p, v
 
     p, v = jax.lax.fori_loop(
-        0, SUBSTEPS, body, (_split_objects(pos, 3), _split_objects(vel, 3)),
+        0, substeps, body, (_split_objects(pos, 3), _split_objects(vel, 3)),
         unroll=True)
     return _merge_objects(p), _merge_objects(v)
 

@@ -71,7 +71,29 @@ def encoder_positions(task, ckpt_dir, data_dir, n_batches=8,
         bx, _ = its[0].next_batch(batch_size)
         seqs.append(np.asarray(fwd(params, jnp.asarray(bx))))
     enc = np.concatenate(seqs, 0)          # [N, t_in, n_objs*2]
-    return enc, model, raw
+
+    # Template-content centroid offsets: the decoder renders each
+    # object's content at pos + 2*(centroid(template content) - center)
+    # image pixels (template->image scale is 2), so encoder positions are
+    # object centers MINUS that offset. Correct before fitting.
+    _, aux = model.apply({"params": params},
+                         jnp.asarray(its[0].X[:2]), with_extras=True)
+    tmpl = np.asarray(aux["extras"]["templates"])[:, 0]   # [o, T, T] raw
+    cont = np.asarray(aux["extras"]["contents"])          # [o, C, T, T]
+    weight = (1 / (1 + np.exp(-tmpl))) * \
+        (1 / (1 + np.exp(-cont))).mean(axis=1)            # [o, T, T]
+    t = weight.shape[-1]
+    coords = np.arange(t)
+    total = weight.sum(axis=(1, 2)) + 1e-9
+    cy = (weight.sum(axis=2) * coords).sum(axis=1) / total
+    cx = (weight.sum(axis=1) * coords).sum(axis=1) / total
+    center = (t - 1) / 2.0
+    # offset in image px, object-major (x, y) layout
+    offsets = 2.0 * np.stack([cx - center, cy - center], 1).reshape(-1)
+    print("template-content offsets (image px, per object x,y):",
+          np.round(offsets, 2))
+    enc = enc + offsets[None, None, :]
+    return enc, model, raw, offsets
 
 
 def fit_spring(enc, dt):
@@ -99,6 +121,52 @@ def fit_spring(enc, dt):
     equil = coef[1] / (2 * k) if k > 1e-6 else float("nan")
     rms = float(np.sqrt(np.mean((A[keep] @ coef - a_par[keep]) ** 2)))
     return float(k), float(equil), rms
+
+
+def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6):
+    """Trajectory-space fit: coarse-to-fine grid over (k, equil), scoring
+    rollouts from finite-difference initial velocities against the
+    encoder positions. Integration (vs the pointwise fit's double
+    differentiation) suppresses the errors-in-variables attenuation that
+    biases k toward zero under encoder noise."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 2, 2)
+    i0 = input_steps - 1
+    horizon = min(horizon, enc.shape[1] - input_steps)
+
+    def batched_spring_step(poss, vels, k, e, substeps=5):
+        """One frame of spring dynamics for [N, 2, 2] states (vectorized
+        version of ops/cells.spring_step / the generator integrator)."""
+        h = dt / substeps
+        for _ in range(substeps):
+            diff = poss[:, 0] - poss[:, 1]
+            norm = np.linalg.norm(diff, axis=-1, keepdims=True)
+            force = k * (norm - 2 * e) * diff / (norm + 1e-9)
+            vels = vels + h * np.stack([-force, force], axis=1)
+            poss = poss + h * vels
+        return poss, vels
+
+    def score(k, e):
+        err = 0.0
+        poss = p[:, i0].copy()
+        vels = (p[:, i0] - p[:, i0 - 1]) / dt
+        for t in range(horizon):
+            poss, vels = batched_spring_step(poss, vels, k, e)
+            err += np.median(
+                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+        return err
+
+    ks = np.exp(np.linspace(np.log(0.25), np.log(16), 9))
+    es = np.exp(np.linspace(np.log(1.0), np.log(12.0), 9))
+    best = None
+    for _ in range(3):   # coarse-to-fine
+        scores = np.array([[score(k, e) for e in es] for k in ks])
+        ik, ie = np.unravel_index(scores.argmin(), scores.shape)
+        best = (ks[ik], es[ie], scores[ik, ie])
+        ks = np.exp(np.linspace(np.log(ks[max(0, ik - 1)]),
+                                np.log(ks[min(len(ks) - 1, ik + 1)]), 7))
+        es = np.exp(np.linspace(np.log(es[max(0, ie - 1)]),
+                                np.log(es[min(len(es) - 1, ie + 1)]), 7))
+    return best
 
 
 def fit_gravity(enc, dt):
@@ -137,14 +205,18 @@ def main(argv=None):
 
     from paig_reproduction_tpu.ops import cells
 
-    enc, model, raw = encoder_positions(args.task, args.ckpt_dir,
-                                        args.data_dir)
+    enc, model, raw, offsets = encoder_positions(args.task, args.ckpt_dir,
+                                                 args.data_dir)
     _, dt = cells.CELLS[model.cell_type]
 
     if model.cell_type == "spring_ode_cell":
-        k, equil, rms = fit_spring(enc, dt)
-        print(f"fitted spring: k={k:.4f} equil={equil:.4f} "
+        k_pt, e_pt, rms = fit_spring(enc, dt)
+        print(f"pointwise spring fit: k={k_pt:.4f} equil={e_pt:.4f} "
               f"(residual rms {rms:.3f})")
+        k, equil, traj_err = fit_spring_trajectory(
+            enc, dt, input_steps=model.input_steps)
+        print(f"trajectory spring fit: k={k:.4f} equil={equil:.4f} "
+              f"(median traj err {traj_err:.3f})")
         updates = {"log_k": np.log(max(k, 1e-3)),
                    "log_equil": np.log(max(equil, 1e-3))}
     elif model.cell_type == "gravity_ode_cell":
@@ -160,9 +232,12 @@ def main(argv=None):
         import orbax.checkpoint as ocp
         for name, val in updates.items():
             raw["params"][name] = np.asarray(val, np.float32)
+        # Seed the frame-offset parameter (pos_phys = pos_enc + b) with
+        # the measured template offsets, for --learn_frame_offset resumes.
+        raw["params"]["frame_offset"] = offsets.astype(np.float32)
         path = os.path.abspath(os.path.join(args.ckpt_dir, "model.ckpt"))
         ocp.PyTreeCheckpointer().save(path, raw, force=True)
-        print(f"wrote {sorted(updates)} into {path}")
+        print(f"wrote {sorted(updates)} + frame_offset into {path}")
 
 
 if __name__ == "__main__":
