@@ -280,12 +280,16 @@ class PhysicsNet(nn.Module):
         center = (self.tmpl_size - 1) / 2.0
         center_penalty = jnp.sum((cy - center) ** 2 + (cx - center) ** 2)
 
-        # Velocity-anchor penalty: ||vel - (p_{s-1} - p_{s-2})/dt||^2.
+        # Velocity-anchor penalty: the central difference
+        # (p_{s} - p_{s-2}) / (2 dt) around the rollout start frame s-1 is
+        # an O(dt^2)-unbiased estimate of the instantaneous velocity (the
+        # forward difference carries an a*dt/2 bias, ~0.3 px/frame here);
+        # frame s is inside the encoder window (input+pred frames).
         vel_anchor_penalty = jnp.zeros((), x.dtype)
         if self.input_steps > 1 and self.cell_type in cells.CELLS:
             _, cell_dt = cells.CELLS[self.cell_type]
-            vel_fd = (enc_pos[:, self.input_steps - 1]
-                      - enc_pos[:, self.input_steps - 2]) / cell_dt
+            vel_fd = (enc_pos[:, self.input_steps]
+                      - enc_pos[:, self.input_steps - 2]) / (2 * cell_dt)
             vel_anchor_penalty = jnp.mean((vel - vel_fd) ** 2)
 
         # Blurred-image auxiliary prediction loss (box blur 7x7, SAME).
