@@ -98,6 +98,16 @@ def stn(inp: jnp.ndarray, theta: jnp.ndarray, out_size) -> jnp.ndarray:
     return grid_sample(inp, grid)
 
 
+def batch_transformer(inp: jnp.ndarray, thetas: jnp.ndarray, out_size):
+    """Apply ``num_transforms`` thetas to each input (API parity with the
+    reference's ``batch_transformer``, stn.py:18-23 — dead code there)."""
+    num_batch, num_transforms = thetas.shape[:2]
+    rep = jnp.repeat(inp[:, None], num_transforms, axis=1)
+    rep = rep.reshape(-1, *inp.shape[1:])
+    return stn(rep, thetas.reshape(num_batch * num_transforms, -1),
+               out_size)
+
+
 def _interp_matrix(src_coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
     """Bilinear interpolation matrix with zero padding.
 

@@ -123,7 +123,7 @@ def fit_spring(enc, dt):
     return float(k), float(equil), rms
 
 
-def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6):
+def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
     """Trajectory-space fit: coarse-to-fine grid over (k, equil), scoring
     rollouts from finite-difference initial velocities against the
     encoder positions. Integration (vs the pointwise fit's double
@@ -133,7 +133,7 @@ def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6):
     i0 = input_steps - 1
     horizon = min(horizon, enc.shape[1] - input_steps)
 
-    def batched_spring_step(poss, vels, k, e, substeps=5):
+    def batched_spring_step(poss, vels, k, e, substeps=substeps):
         """One frame of spring dynamics for [N, 2, 2] states (vectorized
         version of ops/cells.spring_step / the generator integrator)."""
         h = dt / substeps
@@ -201,6 +201,10 @@ def main(argv=None):
     ap.add_argument("--data_dir", default="data/datasets")
     ap.add_argument("--write", action="store_true",
                     help="write the fitted parameters into the checkpoint")
+    ap.add_argument("--substeps", type=int, default=5,
+                    help="Euler substeps the fitted cell will use "
+                         "(match --cell_substeps; the data generators "
+                         "integrate with 10)")
     args = ap.parse_args(argv)
 
     from paig_reproduction_tpu.ops import cells
@@ -214,7 +218,8 @@ def main(argv=None):
         print(f"pointwise spring fit: k={k_pt:.4f} equil={e_pt:.4f} "
               f"(residual rms {rms:.3f})")
         k, equil, traj_err = fit_spring_trajectory(
-            enc, dt, input_steps=model.input_steps)
+            enc, dt, input_steps=model.input_steps,
+            substeps=args.substeps)
         print(f"trajectory spring fit: k={k:.4f} equil={equil:.4f} "
               f"(median traj err {traj_err:.3f})")
         updates = {"log_k": np.log(max(k, 1e-3)),
