@@ -119,7 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "before the extension losses activate "
                              "(object discovery first, physics alignment "
                              "second)")
-    parser.add_argument("--cell_substeps", type=int, default=5,
+    def _positive_int(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(
+                f"must be a positive integer, got {v}")
+        return iv
+
+    parser.add_argument("--cell_substeps", type=_positive_int, default=5,
                         help="[extension] Euler substeps per rollout frame "
                              "(reference: 5; the data generators use 10)")
     parser.add_argument("--recons_warmup", action="store_true",
