@@ -152,6 +152,11 @@ class PhysicsNet(nn.Module):
         assert self.seq_len > self.input_steps + self.pred_steps
         assert self.input_steps >= 1 and self.pred_steps >= 1
         assert self.decoder_type == "conv_st_decoder", self.decoder_type
+        assert self.encoder_type == "conv_encoder", (
+            f"unknown encoder_type {self.encoder_type!r}; only "
+            "'conv_encoder' exists (reference parity: the reference also "
+            "has exactly one encoder, torch_run_physics.py:29)")
+        assert self.lstm_layers >= 1, self.lstm_layers
 
     def _decoder_cfg(self) -> DecoderConfig:
         return DecoderConfig(
@@ -224,13 +229,19 @@ class PhysicsNet(nn.Module):
             # Properly-wired black-box baseline (the reference exposes the
             # flags but never wires the LSTM path; SURVEY.md §2.1). An
             # LSTM cell consumes [pos, vel] and predicts the next state.
-            lstm = nn.OptimizedLSTMCell(self.recurrent_units, name="lstm")
+            lstms = [nn.OptimizedLSTMCell(self.recurrent_units,
+                                          name=f"lstm_{i}")
+                     for i in range(self.lstm_layers)]
             proj = TorchDense(self.coord_units, name="lstm_proj")
-            carry = lstm.initialize_carry(
-                jax.random.PRNGKey(0), (b, self.coord_units))
+            carries = [cell.initialize_carry(
+                jax.random.PRNGKey(0),
+                (b, self.coord_units if i == 0 else self.recurrent_units))
+                for i, cell in enumerate(lstms)]
             outs, pos_vels = [], [jnp.concatenate([pos, vel], axis=1)]
             for _ in range(n_steps):
-                carry, hid = lstm(carry, jnp.concatenate([pos, vel], axis=1))
+                hid = jnp.concatenate([pos, vel], axis=1)
+                for i, cell in enumerate(lstms):
+                    carries[i], hid = cell(carries[i], hid)
                 pv = proj(hid)
                 pos, vel = jnp.split(pv, 2, axis=1)
                 out, _ = st_decode(assets, pos, cfg)

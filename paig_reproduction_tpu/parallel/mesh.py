@@ -51,6 +51,26 @@ _TP_SHARD_LAST = ("var_net_content", "var_net_background", "var_net_template")
 _TP_SHARD_FIRST = ("encoder",)
 
 
+def _spec_for(names, leaf, mesh: Mesh):
+    n_model = mesh.shape["model"]
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if n_model > 1 and ndim == 2 and names and names[-1] == "kernel":
+        # exact path-segment match ("encoder" must not catch
+        # "velocity_encoder")
+        if any(k in names for k in _TP_SHARD_LAST) \
+                and shape[1] % n_model == 0:
+            return NamedSharding(mesh, P(None, "model"))
+        if any(k in names for k in _TP_SHARD_FIRST) \
+                and shape[0] % n_model == 0:
+            return NamedSharding(mesh, P("model", None))
+    return NamedSharding(mesh, P())
+
+
+def _path_names(path):
+    return [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+
+
 def param_shardings(params, mesh: Mesh):
     """Sharding tree for a PhysicsNet param pytree: replicated by default;
     the large Dense kernels shard over the 'model' axis when it exists.
@@ -60,20 +80,16 @@ def param_shardings(params, mesh: Mesh):
     first-layer kernel [H*W*C, 200] shards the wide input dim (GSPMD
     inserts the reduce-scatter/all-gather).
     """
-    n_model = mesh.shape["model"]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_names(path), leaf, mesh), params)
 
-    def spec_for(path, leaf):
-        names = [str(getattr(p, "key", getattr(p, "name", "")))
-                 for p in path]
-        if n_model > 1 and leaf.ndim == 2 and names[-1] == "kernel":
-            # exact path-segment match ("encoder" must not catch
-            # "velocity_encoder")
-            if any(k in names for k in _TP_SHARD_LAST) \
-                    and leaf.shape[1] % n_model == 0:
-                return NamedSharding(mesh, P(None, "model"))
-            if any(k in names for k in _TP_SHARD_FIRST) \
-                    and leaf.shape[0] % n_model == 0:
-                return NamedSharding(mesh, P("model", None))
-        return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+def opt_state_shardings(opt_state, mesh: Mesh):
+    """Sharding tree for an optax state pytree, consistent with
+    :func:`param_shardings`: moment/accumulator leaves that mirror a
+    tensor-sharded kernel get the same spec (their pytree paths contain the
+    same flax module segments, e.g. ``...nu/encoder/.../kernel``); scalars
+    (step counters) and everything else replicate."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_names(path), leaf, mesh),
+        opt_state)

@@ -32,8 +32,21 @@ def save_checkpoint(save_dir: str, state_tree) -> str:
 
 
 def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                    for p in path)
+    """Stringify a pytree key path, normalizing across container kinds:
+    dicts (DictKey.key), sequences (SequenceKey.idx) and namedtuple fields
+    (GetAttrKey.name). Orbax restores namedtuples/tuples as dicts, so the
+    target's ``GetAttrKey('nu')`` must compare equal to the restored
+    ``DictKey('nu')`` — without the ``name`` case, every optimizer-moment
+    leaf silently failed to match and opt state reset on resume."""
+    parts = []
+    for p in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(p, attr):
+                parts.append(str(getattr(p, attr)))
+                break
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
 
 
 def restore_checkpoint(restore_dir: str, target_tree):

@@ -42,6 +42,7 @@ from paig_reproduction_tpu.models.physics_net import (
 from paig_reproduction_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
 )
 from paig_reproduction_tpu.train import optimizers as opt_lib
@@ -136,13 +137,12 @@ class Trainer:
         p_shard = param_shardings(self.params, self.mesh)
         self._batch_sharding = b_shard
 
-        # Place params/opt state according to the mesh rules once.
+        # Place params/opt state according to the mesh rules once; optimizer
+        # moments shard consistently with their (possibly tensor-sharded)
+        # params.
         self.params = jax.device_put(self.params, p_shard)
         self.opt_state = jax.device_put(
-            self.opt_state,
-            jax.tree.map(lambda _: jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec()), self.opt_state,
-                is_leaf=lambda x: isinstance(x, jnp.ndarray)))
+            self.opt_state, opt_state_shardings(self.opt_state, self.mesh))
 
         def loss_fn(params, batch, aux_scale=1.0):
             out, aux = model.apply({"params": params}, batch)

@@ -11,19 +11,18 @@ import numpy as np
 
 
 def gallery(array, ncols=3):
-    """Tile an image sequence [N, H, W, C] into a grid with 0.5-gray
-    borders (reference viz.py:4-20)."""
-    nindex, height, width, intensity = array.shape
-    bordered = 0.5 * np.ones([nindex, height + 2, width + 2, intensity])
-    for i in range(nindex):
-        bordered[i, 1:-1, 1:-1, :] = array[i]
-    array = bordered
-    nindex, height, width, intensity = array.shape
-    nrows = nindex // ncols
-    assert nindex == nrows * ncols
-    return (array.reshape(nrows, ncols, height, width, intensity)
-            .swapaxes(1, 2)
-            .reshape(height * nrows, width * ncols, intensity))
+    """Tile an image sequence [N, H, W, C] row-major into an
+    (N//ncols)-row grid, each tile framed by a 1-px 0.5-gray border
+    (artifact-layout contract of reference viz.py:4-20)."""
+    array = np.asarray(array)
+    n = array.shape[0]
+    assert n % ncols == 0, (n, ncols)
+    framed = np.pad(array, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=0.5)
+    _, th, tw, c = framed.shape
+    grid = framed.reshape(n // ncols, ncols, th, tw, c)
+    return grid.transpose(0, 2, 1, 3, 4).reshape(
+        (n // ncols) * th, ncols * tw, c)
 
 
 def gif(filename, array, fps=10, scale=1.0):

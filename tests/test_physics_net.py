@@ -144,12 +144,28 @@ def test_decoder_matches_grid_sample_oracle():
 
 
 def test_lstm_baseline_runs():
+    """--lstm_layers is honored: a 2-layer stack creates both cells'
+    params and still rolls out (reference exposes the flag but never wires
+    it, torch_run_physics.py:27 / SURVEY.md §2.1)."""
     model = PhysicsNet(task="spring_color", cell_type="lstm", seq_len=12,
                        input_steps=4, pred_steps=6, color=True,
-                       input_size=32 * 32, recurrent_units=32)
+                       input_size=32 * 32, recurrent_units=32,
+                       lstm_layers=2)
     inp = jnp.asarray(np.random.RandomState(0).rand(2, 12, 3, 32, 32),
                       jnp.float32)
     params = model.init(jax.random.PRNGKey(0), inp)
+    assert "lstm_0" in params["params"] and "lstm_1" in params["params"]
     out, aux = model.apply(params, inp)
     assert out.shape == (2, 8, 3, 32, 32)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_unknown_encoder_type_rejected():
+    import pytest
+
+    model = PhysicsNet(task="spring_color", cell_type="spring_ode_cell",
+                       seq_len=12, input_steps=4, pred_steps=6, color=True,
+                       input_size=32 * 32, encoder_type="nope")
+    inp = jnp.zeros((1, 12, 3, 32, 32), jnp.float32)
+    with pytest.raises(AssertionError, match="encoder_type"):
+        model.init(jax.random.PRNGKey(0), inp)
