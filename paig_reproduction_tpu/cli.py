@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[extension] Also gate the prediction term "
                              "during --aux_warmup_epochs (pure "
                              "autoencoder discovery phase)")
+    parser.add_argument("--init_state_fit", type=int, default=0,
+                        help="[extension] Gauss-Newton iterations for the "
+                             "dynamics-consistent initial-state fit over "
+                             "the input window (0 = reference initializer: "
+                             "last encoded position + MLP velocity)")
     return parser
 
 
@@ -224,7 +229,8 @@ def main(argv=None):
             pos_consistency=args.pos_consistency,
             learn_frame_offset=args.learn_frame_offset,
             recons_warmup=args.recons_warmup,
-            cell_substeps=args.cell_substeps)
+            cell_substeps=args.cell_substeps,
+            init_state_fit=args.init_state_fit)
 
     if not args.test_mode:
         model = build(seq_len)

@@ -41,6 +41,7 @@ from paig_reproduction_tpu.models.decoder import (
 )
 from paig_reproduction_tpu.ops import cells
 from paig_reproduction_tpu.ops.cells import CellParams
+from paig_reproduction_tpu.ops.state_fit import fit_initial_state
 
 # Latent units per task: coord_units = n_objects * 2 (dims) * 2 (pos+vel)
 # (reference physics_models.py:31-37).
@@ -121,6 +122,12 @@ class PhysicsNet(nn.Module):
     # velocity head toward the dynamics the encoder actually observes.
     # Still fully unsupervised (targets are the model's own encodings).
     pos_consistency: float = 0.0
+    # [extension, default off] Gauss-Newton iterations for the dynamics-
+    # consistent initial-state fit (ops/state_fit.py): the rollout start
+    # state is least-squares fitted to the encoder positions of the whole
+    # input window under the learned dynamics, instead of taken from the
+    # last frame + MLP velocity. Uses input-window information only.
+    init_state_fit: int = 0
 
     # ----- derived static properties -------------------------------------
     @property
@@ -259,6 +266,13 @@ class PhysicsNet(nn.Module):
             else:
                 frame_off = jnp.zeros((self.coord_units // 2,), x.dtype)
 
+            pos_phys0, vel0 = pos + frame_off, vel
+            if self.init_state_fit > 0 and self.input_steps > 1:
+                obs_phys = enc_pos[:, :self.input_steps] + frame_off
+                pos_phys0, vel0 = fit_initial_state(
+                    step_fn, cell_params, obs_phys, vel, dt,
+                    self.cell_substeps, self.init_state_fit)
+
             def body(carry, _):
                 p_phys, v = carry
                 p_phys, v = step_fn(cell_params, p_phys, v, dt,
@@ -273,11 +287,12 @@ class PhysicsNet(nn.Module):
                                      jnp.concatenate([p_enc, v], axis=1))
 
             (_, _), (output_seq, pos_vel_roll) = jax.lax.scan(
-                body, (pos + frame_off, vel), None, length=n_steps)
+                body, (pos_phys0, vel0), None, length=n_steps)
             # scan stacks on axis 0 (time): -> [B, T, ...]
             output_seq = jnp.moveaxis(output_seq, 0, 1)
             pos_vel_seq = jnp.concatenate(
-                [jnp.concatenate([pos, vel], axis=1)[:, None],
+                [jnp.concatenate([pos_phys0 - frame_off, vel0],
+                                 axis=1)[:, None],
                  jnp.moveaxis(pos_vel_roll, 0, 1)], axis=1)
 
         # Template-centering penalty (see class docstring field note):

@@ -404,6 +404,9 @@ class Trainer:
         if epochs > 0:
             jax.block_until_ready(self.params)
             dt = time.perf_counter() - t0
+            # End-to-end epoch-loop throughput (host index prep, logging,
+            # dispatch, any interleaved evals) — read by bench.py.
+            self.last_train_fps = frames / dt
             logger.info("throughput: %.1f video frames/sec (%d frames, "
                         "%.1fs incl. eval)", frames / dt, frames, dt)
         if self.profile_dir:

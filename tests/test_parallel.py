@@ -56,6 +56,21 @@ def test_sharded_matches_single_device(n_data, n_model):
                                atol=1e-7)
 
 
+@pytest.mark.parametrize("n_data", [1, 2, 4, 8])
+def test_dp_scaling_loss_parity(n_data):
+    """The scaling curve's correctness half: the same global batch must
+    produce the same loss on every mesh size (XLA inserts the gradient
+    psum; batch 8 divides every size)."""
+    model, params, inp, loss_fn = _setup(batch=8)
+    loss_ref = float(loss_fn(params, inp))
+
+    mesh = make_mesh(n_data=n_data, n_model=1)
+    p = jax.device_put(params, param_shardings(params, mesh))
+    b = jax.device_put(inp, batch_sharding(mesh))
+    loss = float(jax.jit(loss_fn)(p, b))
+    np.testing.assert_allclose(loss, loss_ref, rtol=2e-4)
+
+
 def test_tp_params_actually_sharded():
     model, params, inp, _ = _setup()
     mesh = make_mesh(n_data=4, n_model=2)

@@ -1,0 +1,121 @@
+"""Tests for the dynamics-consistent initial-state fit
+(ops/state_fit.py, used via PhysicsNet(init_state_fit=K))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paig_reproduction_tpu.ops import cells
+from paig_reproduction_tpu.ops.cells import CellParams
+from paig_reproduction_tpu.ops.state_fit import fit_initial_state
+
+SPRING = CellParams.initial()._replace(
+    log_k=jnp.log(4.0), log_equil=jnp.log(6.0))
+
+
+def _spring_states(rs, b, s, substeps=5):
+    """Simulate s frames of ground-truth spring states [B, s, 4]."""
+    cm = rs.uniform(10, 22, (b, 2))
+    ang = rs.uniform(0, 2 * np.pi, b)
+    r = (rs.rand(b) + 0.5) * 6
+    off = np.stack([np.cos(ang) * r, np.sin(ang) * r], -1)
+    pos = jnp.asarray(np.stack([cm + off, cm - off], 1).reshape(b, 4))
+    vel = jnp.asarray(rs.uniform(-2, 2, (b, 4)))
+    ps, vs = [pos], [vel]
+    for _ in range(s - 1):
+        pos, vel = cells.spring_step(pos=pos, vel=vel, params=SPRING,
+                                     dt=cells.SPRING_DT, substeps=substeps)
+        ps.append(pos)
+        vs.append(vel)
+    return jnp.stack(ps, 1), jnp.stack(vs, 1)
+
+
+def test_exact_observations_recover_state():
+    """With noise-free observations the fit lands on the true state."""
+    rs = np.random.RandomState(0)
+    true_pos, true_vel = _spring_states(rs, 16, 4)
+    bad_vel = true_vel[:, -1] + 1.0           # deliberately wrong init
+    p, v = fit_initial_state(cells.spring_step, SPRING, true_pos,
+                             bad_vel, cells.SPRING_DT, 5, iters=4,
+                             damping=1e-4)
+    np.testing.assert_allclose(p, true_pos[:, -1], atol=5e-3)
+    np.testing.assert_allclose(v, true_vel[:, -1], atol=5e-3)
+
+
+def test_noisy_observations_beat_naive_initializer():
+    """Under encoder-like noise the fit must beat last-frame + noisy-MLP
+    both at t=0 and rolled out (the production win it exists for)."""
+    rs = np.random.RandomState(1)
+    b, s, sigma = 128, 4, 0.25
+    true_pos, true_vel = _spring_states(rs, b, s)
+    obs = true_pos + sigma * rs.randn(b, s, 4)
+    vel_mlp = true_vel[:, -1] + 0.6 * rs.randn(b, 4)
+    pf, vf = fit_initial_state(cells.spring_step, SPRING, obs, vel_mlp,
+                               cells.SPRING_DT, 5, iters=3)
+
+    def err(a, t):
+        return float(jnp.sqrt(((a - t) ** 2).sum(-1)).mean())
+
+    assert err(pf, true_pos[:, -1]) < err(obs[:, -1], true_pos[:, -1])
+    assert err(vf, true_vel[:, -1]) < 0.75 * err(vel_mlp, true_vel[:, -1])
+
+    pos_n, vel_n = obs[:, -1], vel_mlp
+    pos_f, vel_f = pf, vf
+    pos_t, vel_t = true_pos[:, -1], true_vel[:, -1]
+    for _ in range(6):
+        pos_n, vel_n = cells.spring_step(SPRING, pos_n, vel_n)
+        pos_f, vel_f = cells.spring_step(SPRING, pos_f, vel_f)
+        pos_t, vel_t = cells.spring_step(SPRING, pos_t, vel_t)
+    assert err(pos_f, pos_t) < 0.75 * err(pos_n, pos_t)
+
+
+def test_gradients_flow_to_cell_params():
+    """The fit is straight-through (no gradient through the GN solve —
+    see module docstring), but a loss downstream of the fitted state must
+    still produce a finite k gradient via the post-fit rollout."""
+    rs = np.random.RandomState(2)
+    true_pos, true_vel = _spring_states(rs, 8, 4)
+
+    def loss(log_k):
+        params = SPRING._replace(log_k=log_k)
+        p, v = fit_initial_state(cells.spring_step, params, true_pos,
+                                 true_vel[:, -1], cells.SPRING_DT, 5,
+                                 iters=2)
+        p1, _ = cells.spring_step(params, p, v)
+        tgt, _ = cells.spring_step(SPRING, true_pos[:, -1],
+                                   true_vel[:, -1])
+        return jnp.mean((p1 - tgt) ** 2)
+
+    g = jax.grad(loss)(jnp.log(2.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-6
+
+
+def test_single_frame_window_passthrough():
+    """s < 2 returns the naive initializer unchanged."""
+    obs = jnp.ones((3, 1, 4)) * 10.0
+    vel = jnp.ones((3, 4))
+    p, v = fit_initial_state(cells.spring_step, SPRING, obs, vel,
+                             cells.SPRING_DT, 5, iters=3)
+    np.testing.assert_array_equal(p, obs[:, -1])
+    np.testing.assert_array_equal(v, vel)
+
+
+def test_model_flag_wires_fit_into_rollout():
+    """PhysicsNet(init_state_fit=K) changes the rollout start state and
+    keeps shapes/finiteness."""
+    from paig_reproduction_tpu.models import PhysicsNet
+
+    rs = np.random.RandomState(3)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="spring_color", cell_type="spring_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    m0 = PhysicsNet(**kw)
+    m1 = PhysicsNet(init_state_fit=2, **kw)
+    params = m0.init(jax.random.PRNGKey(0), inp)
+    out0, aux0 = m0.apply(params, inp)
+    out1, aux1 = m1.apply(params, inp)
+    assert out1.shape == out0.shape
+    assert bool(jnp.all(jnp.isfinite(out1)))
+    # the fitted start state must differ from the naive one
+    assert not np.allclose(aux0["pos_vel_seq"][:, 0],
+                           aux1["pos_vel_seq"][:, 0])
