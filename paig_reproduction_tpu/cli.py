@@ -202,8 +202,14 @@ def main(argv=None):
 
     from paig_reproduction_tpu.data.iterators import get_iterators
     from paig_reproduction_tpu.models.registry import get_model
+    from paig_reproduction_tpu.parallel.distributed import init_distributed
     from paig_reproduction_tpu.parallel.mesh import make_mesh
     from paig_reproduction_tpu.train.trainer import Trainer
+
+    # Multi-host: joins the global device set when PAIG_COORDINATOR /
+    # PAIG_NUM_PROCESSES / PAIG_PROCESS_ID are set (no-op otherwise);
+    # the mesh below then spans every host's chips.
+    init_distributed()
 
     (data_file, test_data_file, cell_type, seq_len, test_seq_len,
      input_steps, pred_steps, input_size) = TASK_TABLE[args.task]

@@ -1,0 +1,73 @@
+"""Multi-host (multi-process) runtime support.
+
+The reference is single-process (reference torch_run_physics.py:78-80);
+this is new capability, built the JAX way: ``jax.distributed.initialize``
+brings every host's chips into one global device set, the ('data',
+'model') mesh spans all of them (parallel/mesh.py), and GSPMD rides ICI
+within a slice and DCN across slices. The only host-code differences from
+single-process are (a) initialization and (b) batch assembly — each
+process contributes its local rows of the globally-sharded batch via
+``jax.make_array_from_process_local_data``.
+
+Environment contract (matches the standard JAX launcher conventions):
+set ``PAIG_COORDINATOR`` (host:port), ``PAIG_NUM_PROCESSES``,
+``PAIG_PROCESS_ID`` — or pass the values explicitly / rely on
+``jax.distributed``'s own cluster auto-detection (TPU pods populate it
+from the metadata server, so on Cloud TPU all three can be omitted).
+
+Tested in tests/test_distributed.py by spawning two real CPU processes
+against a localhost coordinator.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-process runtime. Must run before any backend
+    use. No-op when neither args nor env request distribution.
+
+    Returns this process's index (0 when single-process)."""
+    coordinator = coordinator or os.environ.get("PAIG_COORDINATOR")
+    if num_processes is None and "PAIG_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["PAIG_NUM_PROCESSES"])
+    if process_id is None and "PAIG_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PAIG_PROCESS_ID"])
+
+    if coordinator is None and num_processes is None:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_index()
+
+
+def process_local_rows(n_rows: int) -> slice:
+    """The half-open row range of a global batch this process owns under
+    batch sharding over the 'data' axis (row-major process order)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    assert n_rows % pc == 0, (n_rows, pc)
+    per = n_rows // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def global_batch(batch_np: np.ndarray, sharding) -> jax.Array:
+    """Assemble a globally-sharded array. Single-process: plain
+    device_put. Multi-process: every process passes the SAME global-shape
+    host array (datasets are small and loaded everywhere); only this
+    process's rows are uploaded."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch_np, sharding)
+    if sharding.is_fully_replicated:
+        local = batch_np
+    else:
+        local = batch_np[process_local_rows(batch_np.shape[0])]
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=batch_np.shape)

@@ -39,6 +39,7 @@ from paig_reproduction_tpu.models.physics_net import (
     PhysicsNet,
     compute_losses,
 )
+from paig_reproduction_tpu.parallel.distributed import global_batch
 from paig_reproduction_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -273,15 +274,14 @@ class Trainer:
 
     # ----- core loops --------------------------------------------------------
     def _put_batch(self, batch_np):
-        batch = jnp.asarray(batch_np)
+        batch = np.asarray(batch_np)
         n_data = self.mesh.shape["data"]
         if batch.shape[0] % n_data:
             # Odd-sized batches (tiny viz/eval sets) can't shard over the
             # data axis — replicate instead of failing.
-            return jax.device_put(
-                batch, jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()))
-        return jax.device_put(batch, self._batch_sharding)
+            return global_batch(batch, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()))
+        return global_batch(batch, self._batch_sharding)
 
     def train_model(self, epochs, batch_size, save_every_n_epochs,
                     eval_every_n_epochs, print_interval, debug=False):
@@ -309,8 +309,8 @@ class Trainer:
                      and batch_size % self.mesh.shape["data"] == 0)
         if use_fused and self._train_u8 is None:
             # Upload the whole train split once, as uint8 (4x smaller
-            # than f32), replicated across the mesh.
-            self._train_u8 = jax.device_put(
+            # than f32), replicated across the mesh (multi-host safe).
+            self._train_u8 = global_batch(
                 self.train_iterator.raw_uint8,
                 jax.sharding.NamedSharding(self.mesh,
                                            jax.sharding.PartitionSpec()))
@@ -333,8 +333,12 @@ class Trainer:
         step = self.step
         t0 = time.perf_counter()
         frames = 0
+        # [K, B] index matrix shards over batch; replicate across hosts
+        # (it is tiny, and row-slicing semantics only apply to axis 0).
         idx_sharding = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(None, "data"))
+            self.mesh,
+            jax.sharding.PartitionSpec(None, "data")
+            if jax.process_count() == 1 else jax.sharding.PartitionSpec())
         for ep in range(1, epochs + 1):
             while (native.epochs_completed if native is not None
                    else self.train_iterator.epochs_completed) < ep:
@@ -357,7 +361,7 @@ class Trainer:
                     k = max(1, print_interval)
                     idxs = self.train_iterator.next_index_batches(
                         batch_size, k).astype(np.int32)
-                    idxs_d = jax.device_put(idxs, idx_sharding)
+                    idxs_d = global_batch(idxs, idx_sharding)
                     self.params, self.opt_state, metrics = \
                         self._train_chunk(self.params, self.opt_state,
                                           self._train_u8, idxs_d,
