@@ -51,6 +51,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from paig_reproduction_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from paig_reproduction_tpu.models import PhysicsNet
     from paig_reproduction_tpu.models.physics_net import compute_losses
     from paig_reproduction_tpu.parallel.mesh import (

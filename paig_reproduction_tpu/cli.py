@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "dynamics-consistent initial-state fit over "
                              "the input window (0 = reference initializer: "
                              "last encoded position + MLP velocity)")
+    parser.add_argument("--decoder_backend", type=str, default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="[extension] ST-decoder compute backend "
+                             "(auto = measured winner per "
+                             "benchmarks/DECODER_BENCH.md)")
     return parser
 
 
@@ -188,14 +193,11 @@ def main(argv=None):
 
     import jax
 
+    from paig_reproduction_tpu.utils.cache import enable_compile_cache
+
     # Persistent compilation cache: repeat runs of the same config skip
     # the (slow) first compile. Override location with PAIG_COMPILE_CACHE.
-    cache_dir = os.environ.get(
-        "PAIG_COMPILE_CACHE", os.path.expanduser("~/.cache/paig_jax"))
-    if cache_dir and cache_dir != "0":
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+    enable_compile_cache()
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -236,7 +238,8 @@ def main(argv=None):
             learn_frame_offset=args.learn_frame_offset,
             recons_warmup=args.recons_warmup,
             cell_substeps=args.cell_substeps,
-            init_state_fit=args.init_state_fit)
+            init_state_fit=args.init_state_fit,
+            decoder_backend=args.decoder_backend)
 
     if not args.test_mode:
         model = build(seq_len)

@@ -110,12 +110,12 @@ def get_iterators(file, conv=False, datapoints=0):
     train = data["train_x"]
     if datapoints > 0:
         train = train[:datapoints]
-    train_it = DataIterator(X=_prep_split(train, conv))
-    if conv and train.ndim == 5:
-        train_it.raw_uint8 = np.ascontiguousarray(
-            np.transpose(train, (0, 1, 4, 2, 3)))
-    return (
-        train_it,
-        DataIterator(X=_prep_split(data["valid_x"], conv)),
-        DataIterator(X=_prep_split(data["test_x"], conv)),
-    )
+
+    def make(split):
+        it = DataIterator(X=_prep_split(split, conv))
+        if conv and split.ndim == 5:
+            it.raw_uint8 = np.ascontiguousarray(
+                np.transpose(split, (0, 1, 4, 2, 3)))
+        return it
+
+    return make(train), make(data["valid_x"]), make(data["test_x"])

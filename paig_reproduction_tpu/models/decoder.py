@@ -27,6 +27,7 @@ background's constant logit of +1 (``physics_models.py:165,192-193``).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -70,13 +71,20 @@ def _warp_weights(pos_1d: jnp.ndarray, sigma: float, img_size: int,
 
 
 def st_decode(assets: DecoderAssets, pos: jnp.ndarray, cfg: DecoderConfig,
-              return_extras: bool = False):
+              return_extras: bool = False, backend: str = "xla"):
     """Decode per-object positions into composited frames.
 
     pos: [N, n_objs*2] object-major pixel coordinates [x1, y1, x2, y2, ...].
     Returns frames [N, H, W, C] (and a dict of visualization extras when
     requested: transformed masks/contents per object + background).
+
+    backend: "xla" (separable-matmul, default) or "pallas" (fused VMEM
+    kernel forward with the XLA path's VJP as the backward — the two are
+    numerically identical, tests/test_pallas_decoder.py). The extras path
+    always uses XLA (visualization-only, off the hot loop).
     """
+    if backend == "pallas" and not return_extras:
+        return _st_decode_pallas_st(assets, pos, cfg), None
     n = pos.shape[0]
     h, w = cfg.img_hw
     # Reference: sigma = exp(log(log_sig)) == log_sig (= 1.0 by default;
@@ -126,3 +134,52 @@ def st_decode(assets: DecoderAssets, pos: jnp.ndarray, cfg: DecoderConfig,
         "transf_contents": contents_w,  # [b, o, H, W, C]
     }
     return out, extras
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_decode_fn(cfg: DecoderConfig):
+    """custom_vjp decode function for a (static, hashable) DecoderConfig:
+    fused-Pallas forward, XLA-VJP backward (the kernel and the
+    separable-matmul path compute the same function, so the XLA backward
+    is exact, not approximate)."""
+
+    def fwd_impl(template, contents, background, pos):
+        from paig_reproduction_tpu.ops.pallas.st_decoder import (
+            st_decode_pallas,
+        )
+
+        h, _ = cfg.img_hw
+        joint = jnp.concatenate(
+            [template[..., None] + 5.0, jax.nn.sigmoid(contents)],
+            axis=-1)
+        return st_decode_pallas(
+            pos, joint, background, img=h, tmpl=cfg.tmpl_size,
+            n_objs=cfg.n_objs, ch=cfg.conv_ch, sigma=float(cfg.log_sig),
+            # Mosaic lowering needs a real TPU; emulated meshes interpret.
+            interpret=jax.default_backend() == "cpu")
+
+    @jax.custom_vjp
+    def run(template, contents, background, pos):
+        return fwd_impl(template, contents, background, pos)
+
+    def run_fwd(template, contents, background, pos):
+        out = fwd_impl(template, contents, background, pos)
+        return out, (template, contents, background, pos)
+
+    def run_bwd(res, g):
+        template, contents, background, pos = res
+
+        def xla_fn(t, c, b, p):
+            return st_decode(DecoderAssets(t, c, b), p, cfg)[0]
+
+        _, vjp = jax.vjp(xla_fn, template, contents, background, pos)
+        return vjp(g)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run
+
+
+def _st_decode_pallas_st(assets: DecoderAssets, pos: jnp.ndarray,
+                         cfg: DecoderConfig):
+    return _pallas_decode_fn(cfg)(assets.template, assets.contents,
+                                  assets.background, pos)

@@ -71,6 +71,15 @@ class PhysicsNet(nn.Module):
     input_size: int = 32 * 32
     encoder_type: str = "conv_encoder"
     decoder_type: str = "conv_st_decoder"
+    # [extension] ST-decoder compute backend: "xla" (separable matmuls),
+    # "pallas" (fused VMEM kernel forward, XLA backward), or "auto".
+    # Benchmarked on TPU v5e in benchmarks/DECODER_BENCH.md: the XLA path
+    # wins inside the fused train step (XLA fuses the decode into the
+    # scan body; the kernel's win on the isolated op does not survive
+    # composition), so "auto" resolves to "xla" everywhere. The pallas
+    # path stays available and parity-tested for larger-image model
+    # families where the fused composite outgrows what XLA fuses well.
+    decoder_backend: str = "auto"
     # [extension, default off] weight of a template-centering penalty.
     # Unsupervised object discovery can settle on templates whose content
     # sits off-center; the encoder then reports ball_center + offset, and
@@ -164,6 +173,16 @@ class PhysicsNet(nn.Module):
             "'conv_encoder' exists (reference parity: the reference also "
             "has exactly one encoder, torch_run_physics.py:29)")
         assert self.lstm_layers >= 1, self.lstm_layers
+        assert self.decoder_backend in ("auto", "xla", "pallas"), (
+            self.decoder_backend)
+
+    @property
+    def _backend(self) -> str:
+        """Resolved decoder backend ("auto" -> measured winner; see the
+        decoder_backend field note)."""
+        if self.decoder_backend != "auto":
+            return self.decoder_backend
+        return "xla"
 
     def _decoder_cfg(self) -> DecoderConfig:
         return DecoderConfig(
@@ -214,7 +233,8 @@ class PhysicsNet(nn.Module):
             out_features=2, name="encoder")(frames)
 
         # --- autoencoder path ---------------------------------------------
-        recons_flat, _ = st_decode(assets, enc_pos_flat, cfg)
+        recons_flat, _ = st_decode(assets, enc_pos_flat, cfg,
+                                   backend=self._backend)
         recons_out = recons_flat.reshape(b, t_in, img, img, ch)
         enc_pos = enc_pos_flat.reshape(b, t_in, self.coord_units // 2)
 
@@ -251,7 +271,8 @@ class PhysicsNet(nn.Module):
                     carries[i], hid = cell(carries[i], hid)
                 pv = proj(hid)
                 pos, vel = jnp.split(pv, 2, axis=1)
-                out, _ = st_decode(assets, pos, cfg)
+                out, _ = st_decode(assets, pos, cfg,
+                                   backend=self._backend)
                 outs.append(out)
                 pos_vels.append(jnp.concatenate([pos, vel], axis=1))
             output_seq = jnp.stack(outs, axis=1)
@@ -282,7 +303,8 @@ class PhysicsNet(nn.Module):
                 p_phys = cells.clip_cotangent(p_phys)
                 v = cells.clip_cotangent(v)
                 p_enc = p_phys - frame_off
-                frame, _ = st_decode(assets, p_enc, cfg)
+                frame, _ = st_decode(assets, p_enc, cfg,
+                                     backend=self._backend)
                 return (p_phys, v), (frame,
                                      jnp.concatenate([p_enc, v], axis=1))
 

@@ -203,6 +203,22 @@ class Trainer:
             return dict(eval_losses, train_loss=loss)
 
         @jax.jit
+        def eval_chunk(params, data_u8, idxs):
+            """Whole-eval-epoch metrics in ONE dispatch: scan over [K, B]
+            index batches gathered from the device-resident uint8 split
+            (same trick as train_chunk — only the index matrix crosses
+            host->device; the reference feeds one host batch per eval
+            step, base.py:190-199)."""
+
+            def body(_, idx):
+                batch = data_u8[idx].astype(jnp.float32) / 255.0
+                loss, eval_losses = loss_fn(params, batch)
+                return None, dict(eval_losses, train_loss=loss)
+
+            _, metrics = jax.lax.scan(body, None, idxs)
+            return metrics
+
+        @jax.jit
         def forward(params, batch):
             return model.apply({"params": params}, batch)
 
@@ -212,9 +228,12 @@ class Trainer:
         self._train_step = train_step
         self._train_chunk = train_chunk
         self._eval_step = eval_step
+        self._eval_chunk = eval_chunk
         self._forward = forward
         self._forward_extras = jax.jit(forward_extras)
-        self._train_u8 = None  # device-resident train split (lazy)
+        self._train_u8 = None   # device-resident train split (lazy)
+        self._eval_u8 = {}      # device-resident eval splits (lazy)
+        self._npz_thread = None
 
     # ----- checkpoint / save_dir semantics ----------------------------------
     def initialize_graph(self, save_dir, use_ckpt, ckpt_dir=""):
@@ -420,44 +439,88 @@ class Trainer:
                                                      type="test")
         log_metrics(logger, "test - epoch=%s" % epochs,
                     test_metrics_results)
+        self.flush_artifacts()
         return test_metrics_results
+
+    def flush_artifacts(self):
+        """Block until the async outputs.npz writer (if any) finishes."""
+        if self._npz_thread is not None:
+            self._npz_thread.join()
+            self._npz_thread = None
 
     def eval_performance(self, batch_size, type="valid"):
         """Reference eval loop (base.py:174-218): whole-epoch metric
         averaging, batch shrink for small datasets, outputs.npz dump, then
-        the visualization hooks."""
-        eval_metrics_results = {k: [] for k in
-                                ("eval_pred_loss", "eval_extrap_loss",
-                                 "eval_recons_loss")}
-        eval_outputs = {"input": [], "output": []}
+        the visualization hooks.
 
+        Fast path: the eval split lives in HBM as uint8 and the whole
+        epoch's metrics come back in one fused dispatch; the (compressed)
+        outputs.npz dump happens on a writer thread off the eval path."""
+        keys = ("eval_pred_loss", "eval_extrap_loss", "eval_recons_loss")
         eval_iterator = self.get_iterator(type)
         eval_iterator.reset_epoch()
-        if eval_iterator.X.shape[0] < 100:
-            batch_size = eval_iterator.X.shape[0]
+        n = eval_iterator.X.shape[0]
+        if n < 100:
+            batch_size = n
 
-        while eval_iterator.get_epoch() < 1:
-            feed_dict, _ = self.get_batch(batch_size, eval_iterator)
-            batch = self._put_batch(feed_dict["input"])
-            metrics = self._eval_step(self.params, batch)
+        raw = getattr(eval_iterator, "raw_uint8", None)
+        use_fused = (self.fused_input and raw is not None
+                     and n >= batch_size
+                     and batch_size % self.mesh.shape["data"] == 0
+                     and jax.process_count() == 1)
+        if use_fused:
+            if type not in self._eval_u8:
+                self._eval_u8[type] = global_batch(
+                    raw, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+            # All index batches of one epoch (the iterator drops the
+            # ragged tail, matching reference epoch semantics).
+            idxs = eval_iterator.next_index_batches(
+                batch_size, 10 ** 9).astype(np.int32)
+            metrics = self._eval_chunk(self.params, self._eval_u8[type],
+                                       jnp.asarray(idxs))
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
-            for k in eval_metrics_results:
-                eval_metrics_results[k].append(metrics[k])
-            eval_outputs["input"].append(feed_dict["input"])
-            eval_outputs["output"].append(
-                [metrics["eval_pred_loss"], metrics["eval_extrap_loss"],
-                 metrics["eval_recons_loss"]])
+            eval_metrics_results = {k: metrics[k].mean() for k in keys}
+            inputs = eval_iterator.X[idxs.reshape(-1)]
+            outputs = np.stack([metrics[k] for k in keys], axis=1)
+        else:
+            per_batch = {k: [] for k in keys}
+            input_parts = []
+            while eval_iterator.get_epoch() < 1:
+                feed_dict, _ = self.get_batch(batch_size, eval_iterator)
+                batch = self._put_batch(feed_dict["input"])
+                m = self._eval_step(self.params, batch)
+                m = {k: np.asarray(v) for k, v in m.items()}
+                for k in keys:
+                    per_batch[k].append(m[k])
+                input_parts.append(feed_dict["input"])
+            eval_metrics_results = {
+                k: np.mean(np.asarray(v), axis=0)
+                for k, v in per_batch.items()}
+            inputs = np.concatenate(input_parts, axis=0)
+            outputs = np.array([[per_batch[k][i] for k in keys]
+                                for i in range(len(input_parts))])
 
-        eval_metrics_results = {
-            k: np.mean(np.asarray(v), axis=0)
-            for k, v in eval_metrics_results.items()}
-        np.savez_compressed(
-            os.path.join(self.save_dir, "outputs.npz"),
-            input=np.concatenate(eval_outputs["input"], axis=0),
-            output=np.array(eval_outputs["output"]))
-
+        self._write_outputs_npz(inputs, outputs)
         self.run_extra_fns(type)
         return eval_metrics_results
+
+    def _write_outputs_npz(self, inputs, outputs):
+        """Write outputs.npz (reference artifact, base.py:212-214) on a
+        non-daemon writer thread: zlib-compressing the ~70MB input dump
+        dominates eval wall time otherwise. Joins any previous writer
+        first so writes never interleave."""
+        import threading
+
+        if self._npz_thread is not None:
+            self._npz_thread.join()
+        path = os.path.join(self.save_dir, "outputs.npz")
+
+        def write():
+            np.savez_compressed(path, input=inputs, output=outputs)
+
+        self._npz_thread = threading.Thread(target=write, daemon=False)
+        self._npz_thread.start()
 
     # ----- visualization ------------------------------------------------------
     def visualize_sequence(self):

@@ -36,6 +36,9 @@ def encoder_positions(task, ckpt_dir, data_dir, n_batches=8,
     import jax
     import jax.numpy as jnp
 
+    from paig_reproduction_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from paig_reproduction_tpu.cli import TASK_TABLE
     from paig_reproduction_tpu.data.iterators import get_iterators
     from paig_reproduction_tpu.models import PhysicsNet
@@ -194,6 +197,60 @@ def fit_gravity(enc, dt):
     return A, rms
 
 
+def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
+                           substeps=5):
+    """Trajectory-space 1-D fit of A = g*m^2: coarse-to-fine log-grid,
+    scoring rollouts from finite-difference initial velocities against
+    the encoder positions — the same errors-in-variables cure as
+    fit_spring_trajectory (double differentiation attenuates the
+    pointwise fit under encoder noise; integration does not)."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 3, 2)
+    i0 = input_steps - 1
+    horizon = min(horizon, enc.shape[1] - input_steps)
+
+    def step(poss, vels, A):
+        """One frame of 3-body dynamics for [N, 3, 2] states (matches
+        ops/cells.gravity_step / generator physics, norm floored like
+        the cell's clamp, reference cells.py:99-100)."""
+        h = dt / substeps
+        for _ in range(substeps):
+            acc = np.zeros_like(poss)
+            for i in range(3):
+                for j in range(3):
+                    if i == j:
+                        continue
+                    d = poss[:, j] - poss[:, i]
+                    n = np.linalg.norm(d, axis=-1, keepdims=True)
+                    n = np.clip(n, 1.0, 170.0)
+                    acc[:, i] += A * d / n ** 3
+            vels = vels + h * acc
+            poss = poss + h * vels
+        return poss, vels
+
+    def score(A):
+        err = 0.0
+        poss = p[:, i0].copy()
+        # second-order one-sided velocity: the first-order difference
+        # equals v - a*dt/2, a bias correlated with A that skews the fit
+        vels = (3 * p[:, i0] - 4 * p[:, i0 - 1] + p[:, i0 - 2]) / (2 * dt)
+        for t in range(horizon):
+            poss, vels = step(poss, vels, A)
+            err += np.median(
+                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+        return err
+
+    grid = np.exp(np.linspace(np.log(2.0), np.log(400.0), 13))
+    best = None
+    for _ in range(3):   # coarse-to-fine
+        scores = np.array([score(a) for a in grid])
+        ia = int(scores.argmin())
+        best = (float(grid[ia]), float(scores[ia]))
+        grid = np.exp(np.linspace(
+            np.log(grid[max(0, ia - 1)]),
+            np.log(grid[min(len(grid) - 1, ia + 1)]), 9))
+    return best
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--task", required=True)
@@ -225,9 +282,15 @@ def main(argv=None):
         updates = {"log_k": np.log(max(k, 1e-3)),
                    "log_equil": np.log(max(equil, 1e-3))}
     elif model.cell_type == "gravity_ode_cell":
-        A, rms = fit_gravity(enc, dt)
+        A_pt, rms = fit_gravity(enc, dt)
+        print(f"pointwise gravity fit: A=g*m^2={A_pt:.4f} "
+              f"(residual rms {rms:.3f})")
+        A, traj_err = fit_gravity_trajectory(
+            enc, dt, input_steps=model.input_steps,
+            substeps=args.substeps)
         # A = exp(log_g) * exp(2 log_m); log_m frozen at 0 -> log_g = log A
-        print(f"fitted gravity: A=g*m^2={A:.4f} (residual rms {rms:.3f})")
+        print(f"trajectory gravity fit: A={A:.4f} "
+              f"(median traj err {traj_err:.3f})")
         updates = {"log_g": np.log(max(A, 1e-3))}
     else:
         print(f"cell {model.cell_type} has no learnable physics")

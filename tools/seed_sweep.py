@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--save_root", default="/tmp/paig_seed_sweep")
     args = p.parse_args(argv)
 
+    from paig_reproduction_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from paig_reproduction_tpu.cli import TASK_TABLE
     from paig_reproduction_tpu.data.iterators import get_iterators
     from paig_reproduction_tpu.models.registry import get_model
