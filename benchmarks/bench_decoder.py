@@ -8,9 +8,14 @@ Compares, at the training shape (B*T' = 1000 decodes of 2 objects into
 
 Run: python benchmarks/bench_decoder.py
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.realpath(__file__)), ".."))
 
 
 def main():
