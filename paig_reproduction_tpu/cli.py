@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "dynamics-consistent initial-state fit over "
                              "the input window (0 = reference initializer: "
                              "last encoded position + MLP velocity)")
+    parser.add_argument("--attn_overlap_loss", type=float, default=0.0,
+                        help="[extension] Weight of the slot-overlap "
+                             "penalty (pixelwise products of object "
+                             "attention masks). Breaks the both-slots-"
+                             "on-one-object discovery collapse; active "
+                             "from step 0 (not gated by aux warmup)")
     parser.add_argument("--decoder_backend", type=str, default="auto",
                         choices=("auto", "xla", "pallas"),
                         help="[extension] ST-decoder compute backend "
@@ -239,6 +245,7 @@ def main(argv=None):
             recons_warmup=args.recons_warmup,
             cell_substeps=args.cell_substeps,
             init_state_fit=args.init_state_fit,
+            attn_overlap_loss=args.attn_overlap_loss,
             decoder_backend=args.decoder_backend)
 
     if not args.test_mode:

@@ -131,6 +131,16 @@ class PhysicsNet(nn.Module):
     # velocity head toward the dynamics the encoder actually observes.
     # Still fully unsupervised (targets are the model's own encodings).
     pos_consistency: float = 0.0
+    # [extension, default off] weight of a slot-overlap penalty: the sum
+    # of pixelwise products of distinct object attention masks. Object
+    # discovery on the bouncing task reliably collapses both object slots
+    # onto the SAME ball (measured: both templates learn the green ball,
+    # the blue one goes unexplained, recons ~11 across 10 seed/recipe
+    # runs); a spatial-exclusivity prior — objects occupy disjoint pixels
+    # — makes the collapsed configuration unstable without affecting
+    # disjoint (correct) solutions. Applied from step 0 (discovery-phase
+    # loss, NOT gated by --aux_warmup_epochs).
+    attn_overlap_loss: float = 0.0
     # [extension, default off] Gauss-Newton iterations for the dynamics-
     # consistent initial-state fit (ops/state_fit.py): the rollout start
     # state is least-squares fitted to the encoder positions of the whole
@@ -328,6 +338,15 @@ class PhysicsNet(nn.Module):
         center = (self.tmpl_size - 1) / 2.0
         center_penalty = jnp.sum((cy - center) ** 2 + (cx - center) ** 2)
 
+        # Slot-overlap penalty (see attn_overlap_loss field note): sum of
+        # pixelwise products of distinct object attention masks. Zero for
+        # spatially-disjoint slots; large when slots collapse onto the
+        # same object.
+        attn_obj = enc_masks[..., :self.n_objs]        # [B*T', H, W, o]
+        pair = (jnp.sum(attn_obj, axis=-1) ** 2
+                - jnp.sum(attn_obj ** 2, axis=-1))     # 2*sum_{o<o'} ao*ao'
+        attn_overlap_penalty = 0.5 * jnp.mean(jnp.sum(pair, axis=(1, 2)))
+
         # Velocity-anchor penalty: the central difference
         # (p_{s} - p_{s-2}) / (2 dt) around the rollout start frame s-1 is
         # an O(dt^2)-unbiased estimate of the instantaneous velocity (the
@@ -370,6 +389,7 @@ class PhysicsNet(nn.Module):
             "enc_pos": enc_pos,
             "pos_vel_seq": pos_vel_seq,
             "center_penalty": center_penalty,
+            "attn_overlap_penalty": attn_overlap_penalty,
             "vel_anchor_penalty": vel_anchor_penalty,
             "coarse_pred_loss": coarse_pred_loss,
             "pos_consistency_loss": pos_consistency_loss,
@@ -419,7 +439,7 @@ def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
                    output_seq: jnp.ndarray, recons_out: jnp.ndarray,
                    center_penalty=None, vel_anchor_penalty=None,
                    coarse_pred_loss=None, pos_consistency_loss=None,
-                   aux_scale=1.0):
+                   attn_overlap_penalty=None, aux_scale=1.0):
     """Loss definitions, identical to the reference
     (physics_models.py:119-142): squared error summed over (C, H, W),
     meaned over batch/time slices.
@@ -459,6 +479,10 @@ def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
     if model.pos_consistency > 0.0 and pos_consistency_loss is not None:
         train_loss = train_loss + aux_scale * model.pos_consistency \
             * pos_consistency_loss
+    # Discovery-phase loss: NOT aux_scale-gated (see field note).
+    if model.attn_overlap_loss > 0.0 and attn_overlap_penalty is not None:
+        train_loss = train_loss + model.attn_overlap_loss \
+            * attn_overlap_penalty
 
     return train_loss, {
         "eval_pred_loss": pred_loss,

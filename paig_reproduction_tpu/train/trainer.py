@@ -153,6 +153,7 @@ class Trainer:
                 aux.get("vel_anchor_penalty"),
                 aux.get("coarse_pred_loss"),
                 aux.get("pos_consistency_loss"),
+                aux.get("attn_overlap_penalty"),
                 aux_scale=aux_scale)
             return train_loss, eval_losses
 

@@ -117,3 +117,54 @@ def test_cotangent_clip_identity_forward():
     g = jax.grad(f)(x)
     assert float(jnp.sqrt(jnp.sum(g ** 2))) <= 1e6 * 1.0 + 1e-3
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_attn_overlap_penalty_detects_slot_collapse():
+    """The slot-overlap penalty must be ~zero for disjoint attention and
+    large when object slots coincide, and must reach the train loss only
+    when the flag is set (NOT gated by aux warmup — discovery-phase)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.models.physics_net import compute_losses
+
+    rs = np.random.RandomState(0)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="spring_color", cell_type="spring_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    m = PhysicsNet(attn_overlap_loss=2.0, **kw)
+    params = m.init(jax.random.PRNGKey(0), inp)
+    out, aux = m.apply(params, inp)
+    pen = aux["attn_overlap_penalty"]
+    assert np.isfinite(float(pen)) and float(pen) >= 0.0
+
+    # flag off -> loss unchanged by the penalty value
+    m0 = PhysicsNet(**kw)
+    l_off, _ = compute_losses(m0, inp, out, aux["recons_out"],
+                              attn_overlap_penalty=pen)
+    l_on, _ = compute_losses(m, inp, out, aux["recons_out"],
+                             attn_overlap_penalty=pen)
+    np.testing.assert_allclose(float(l_on) - float(l_off),
+                               2.0 * float(pen), rtol=1e-4)
+    # ... and aux_scale=0 (warmup) must NOT disable it
+    l_warm, _ = compute_losses(m, inp, out, aux["recons_out"],
+                               attn_overlap_penalty=pen, aux_scale=0.0)
+    assert float(l_warm) > float(
+        compute_losses(m0, inp, out, aux["recons_out"],
+                       aux_scale=0.0)[0])
+
+    # synthetic sanity: coincident vs disjoint masks
+    h = w = 8
+    a = np.zeros((1, h, w, 3), np.float32)
+    a[0, 2:4, 2:4, 0] = 0.5
+    a[0, 2:4, 2:4, 1] = 0.5        # coincident slots
+    b = np.zeros_like(a)
+    b[0, 2:4, 2:4, 0] = 0.5
+    b[0, 5:7, 5:7, 1] = 0.5        # disjoint slots
+    overlap = lambda m_: 0.5 * float(np.mean(np.sum(
+        (m_[..., :2].sum(-1) ** 2 - (m_[..., :2] ** 2).sum(-1)),
+        axis=(1, 2))))
+    assert overlap(a) > 0.9 and overlap(b) < 1e-9

@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--base_lr", type=float, default=6e-4)
     p.add_argument("--autoencoder_loss", type=float, default=3.0)
     p.add_argument("--optimizer", default="rmsprop")
+    p.add_argument("--attn_overlap_loss", type=float, default=0.0)
     p.add_argument("--data_dir", default="data/datasets")
     p.add_argument("--out", default="seed_sweep.json")
     p.add_argument("--save_root", default="/tmp/paig_seed_sweep")
@@ -53,7 +54,8 @@ def main(argv=None):
             task=args.task, cell_type=cell_type, seq_len=seq_len,
             input_steps=input_steps, pred_steps=pred_steps,
             autoencoder_loss=args.autoencoder_loss, color=True,
-            input_size=input_size)
+            input_size=input_size,
+            attn_overlap_loss=args.attn_overlap_loss)
         its = get_iterators(os.path.join(args.data_dir, data_file),
                             conv=True)
         trainer = Trainer(model, seed=seed)
