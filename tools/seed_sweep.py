@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--autoencoder_loss", type=float, default=3.0)
     p.add_argument("--optimizer", default="rmsprop")
     p.add_argument("--attn_overlap_loss", type=float, default=0.0)
+    p.add_argument("--recons_warmup", action="store_true")
+    p.add_argument("--aux_warmup_epochs", type=int, default=0)
     p.add_argument("--data_dir", default="data/datasets")
     p.add_argument("--out", default="seed_sweep.json")
     p.add_argument("--save_root", default="/tmp/paig_seed_sweep")
@@ -55,7 +57,8 @@ def main(argv=None):
             input_steps=input_steps, pred_steps=pred_steps,
             autoencoder_loss=args.autoencoder_loss, color=True,
             input_size=input_size,
-            attn_overlap_loss=args.attn_overlap_loss)
+            attn_overlap_loss=args.attn_overlap_loss,
+            recons_warmup=args.recons_warmup)
         its = get_iterators(os.path.join(args.data_dir, data_file),
                             conv=True)
         trainer = Trainer(model, seed=seed)
@@ -63,7 +66,8 @@ def main(argv=None):
         trainer.init_params(its[0].X[:1])
         spe = max(1, its[0].num_examples // args.batch_size)
         trainer.build_optimizer(args.base_lr, args.optimizer, True,
-                                epochs=args.epochs, steps_per_epoch=spe)
+                                epochs=args.epochs, steps_per_epoch=spe,
+                                aux_warmup_epochs=args.aux_warmup_epochs)
         save_dir = os.path.join(args.save_root,
                                 f"{args.task}_seed{seed}")
         trainer.initialize_graph(save_dir, False)
