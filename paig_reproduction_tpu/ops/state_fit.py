@@ -41,7 +41,8 @@ import jax.numpy as jnp
 
 
 def fit_initial_state(step_fn, cell_params, obs, vel_init, dt, substeps,
-                      iters: int, damping: float = 1e-2):
+                      iters: int, damping: float = 1e-2,
+                      accept_rms: float = 0.75):
     """Fit the state at the LAST observed frame by Gauss-Newton.
 
     step_fn:     cell step ``(params, pos[B,cu2], vel[B,cu2], dt, substeps)``
@@ -87,7 +88,8 @@ def fit_initial_state(step_fn, cell_params, obs, vel_init, dt, substeps,
     jac_lim, res_lim, step_lim = 1e4, 1e4, 16.0
 
     def fit_one(y, v0):
-        """y: [s, cu2]; v0: [cu2]."""
+        """y: [s, cu2]; v0: [cu2]. Returns (pos, vel) at frame s-1 plus
+        the final window residual SSE of the fitted trajectory."""
         target = y.reshape(-1)
 
         def resid(x):
@@ -104,6 +106,7 @@ def fit_initial_state(step_fn, cell_params, obs, vel_init, dt, substeps,
 
         x0 = jnp.concatenate([y[0], v0])
         x, _ = jax.lax.scan(gn_iter, x0, None, length=iters)
+        res = jnp.sum(jnp.nan_to_num(resid(x)) ** 2)
 
         # advance the fitted frame-0 state to frame s-1
         def adv(carry, _):
@@ -112,14 +115,22 @@ def fit_initial_state(step_fn, cell_params, obs, vel_init, dt, substeps,
 
         (p, v), _ = jax.lax.scan(adv, (x[:cu2], x[cu2:]), None,
                                  length=s - 1)
-        return p, v
+        return p, v, res
 
-    pos_f, vel_f = jax.vmap(fit_one)(
+    pos_f, vel_f, res_f = jax.vmap(fit_one)(
         jax.lax.stop_gradient(obs), jax.lax.stop_gradient(vel_init))
-    # Last-resort per-sample fallback to the naive initializer.
-    ok = (jnp.isfinite(pos_f).all(axis=-1)
-          & jnp.isfinite(vel_f).all(axis=-1))[:, None]
     naive_p, naive_v = obs[:, -1], vel_init
+    # Per-sample acceptance: the fit must EXPLAIN the window. If the
+    # fitted trajectory cannot track the observations (residual above a
+    # ~accept_rms px/frame/coordinate noise floor), the model family is
+    # wrong for this sample — e.g. a wall reflection inside the window,
+    # where the bouncing cell's discontinuous Jacobian breaks the GN
+    # linearization (measured: unguarded GN doubles the velocity error on
+    # bouncing while halving it on spring) — so fall back to the naive
+    # initializer. Also rejects non-finite solves.
+    ok = (jnp.isfinite(pos_f).all(axis=-1)
+          & jnp.isfinite(vel_f).all(axis=-1)
+          & (res_f < (accept_rms ** 2) * (s * cu2)))[:, None]
     pos_f = jnp.where(ok, pos_f, jax.lax.stop_gradient(naive_p))
     vel_f = jnp.where(ok, vel_f, jax.lax.stop_gradient(naive_v))
     # Straight-through: forward = fitted, backward = naive (see module

@@ -119,3 +119,21 @@ def test_model_flag_wires_fit_into_rollout():
     # the fitted start state must differ from the naive one
     assert not np.allclose(aux0["pos_vel_seq"][:, 0],
                            aux1["pos_vel_seq"][:, 0])
+
+
+def test_unexplainable_window_falls_back_to_naive():
+    """When the observations cannot be explained by the cell (e.g. a wall
+    reflection mid-window for a smooth cell), the per-sample acceptance
+    gate must return the naive initializer instead of a corrupted fit."""
+    rs = np.random.RandomState(4)
+    # piecewise-linear "reflected" tracks: inconsistent with spring_step
+    obs = np.zeros((8, 4, 4), np.float32)
+    obs[:, :, :] = rs.uniform(8, 24, (8, 1, 4))
+    kink = np.array([0.0, 8.0, 16.0, 8.0], np.float32)   # bounce shape
+    obs[:, :, 0] += kink[None, :]
+    obs = jnp.asarray(obs)
+    vel = jnp.asarray(rs.uniform(-2, 2, (8, 4)), jnp.float32)
+    p, v = fit_initial_state(cells.spring_step, SPRING, obs, vel,
+                             cells.SPRING_DT, 5, iters=3)
+    np.testing.assert_allclose(p, obs[:, -1], atol=1e-5)
+    np.testing.assert_allclose(v, vel, atol=1e-5)
