@@ -72,19 +72,29 @@ def restore_checkpoint(restore_dir: str, target_tree):
 
     out = []
     missing = []
+    shape_skipped = []
     for p, t in flat_t:
         key = _path_str(p)
-        if key in flat_r:
+        src = flat_r.get(key)
+        if src is not None and np.size(src) == np.size(t):
             out.append(jax.numpy.asarray(
-                flat_r[key], dtype=t.dtype).reshape(t.shape))
+                src, dtype=t.dtype).reshape(t.shape))
         else:
-            missing.append(key)
+            # absent OR shape-incompatible (e.g. cross-task warm start:
+            # a 3-object 36px model restoring a 2-object 32px checkpoint
+            # keeps its fresh heads and takes every matching trunk leaf)
+            (shape_skipped if src is not None else missing).append(key)
             out.append(t)
     if missing:
         import logging
         logging.getLogger("paig").info(
             "checkpoint restore: %d target leaves not in checkpoint, "
             "keeping initialized values: %s", len(missing), missing[:5])
+    if shape_skipped:
+        import logging
+        logging.getLogger("paig").info(
+            "checkpoint restore: %d leaves shape-incompatible, keeping "
+            "initialized values: %s", len(shape_skipped), shape_skipped[:5])
     extra = set(flat_r) - {_path_str(p) for p, _ in flat_t}
     if extra:
         import logging

@@ -56,3 +56,54 @@ def test_partial_restore_keeps_new_leaves(tmp_path):
     # new leaf absent from the checkpoint keeps its initialized value
     np.testing.assert_allclose(np.asarray(out["params"]["extra"]["kernel"]),
                                0.0)
+
+
+def test_cross_task_partial_restore(tmp_path):
+    """A model of a DIFFERENT task (3 objects, 36px) restoring a 2-object
+    32px checkpoint takes every name+shape-matching trunk leaf and keeps
+    fresh values for incompatible heads (cross-task discovery transfer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    rs = np.random.RandomState(0)
+    m_src = PhysicsNet(task="spring_color", cell_type="spring_ode_cell",
+                       seq_len=12, input_steps=4, pred_steps=6,
+                       autoencoder_loss=3.0, color=True,
+                       input_size=32 * 32)
+    p_src = m_src.init(jax.random.PRNGKey(0),
+                       jnp.asarray(rs.rand(1, 12, 3, 32, 32),
+                                   jnp.float32))["params"]
+    save_checkpoint(str(tmp_path), {"params": p_src})
+
+    m_tgt = PhysicsNet(task="3bp_color", cell_type="gravity_ode_cell",
+                       seq_len=20, input_steps=4, pred_steps=12,
+                       autoencoder_loss=5.0, color=True,
+                       input_size=36 * 36)
+    p_tgt0 = m_tgt.init(jax.random.PRNGKey(1),
+                        jnp.asarray(rs.rand(1, 20, 3, 36, 36),
+                                    jnp.float32))["params"]
+    restored = restore_checkpoint(str(tmp_path), {"params": p_tgt0})
+
+    # a UNet trunk conv (shape-identical across tasks) transferred...
+    src_leaf = jax.tree_util.tree_leaves_with_path(p_src)
+    flat_src = {"/".join(str(getattr(k, "key", k)) for k in p): v
+                for p, v in src_leaf}
+    moved = kept = 0
+    for p, v in jax.tree_util.tree_leaves_with_path(
+            restored["params"]):
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        if key in flat_src and flat_src[key].size == v.size:
+            np.testing.assert_array_equal(
+                np.asarray(v).ravel(), np.asarray(flat_src[key]).ravel())
+            moved += 1
+        else:
+            kept += 1
+    assert moved > 10, moved     # the shared trunk actually transferred
+    assert kept > 0, kept        # and incompatible heads stayed fresh
