@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "attention masks). Breaks the both-slots-"
                              "on-one-object discovery collapse; active "
                              "from step 0 (not gated by aux warmup)")
+    parser.add_argument("--active_slots", type=int, default=0,
+                        help="[extension] Slot curriculum: only the "
+                             "first N object slots are live (0 = all). "
+                             "Stage discovery runs with increasing N, "
+                             "resuming via --use_ckpt")
     parser.add_argument("--decoder_backend", type=str, default="auto",
                         choices=("auto", "xla", "pallas"),
                         help="[extension] ST-decoder compute backend "
@@ -246,6 +251,7 @@ def main(argv=None):
             cell_substeps=args.cell_substeps,
             init_state_fit=args.init_state_fit,
             attn_overlap_loss=args.attn_overlap_loss,
+            active_slots=args.active_slots,
             decoder_backend=args.decoder_backend)
 
     if not args.test_mode:

@@ -209,6 +209,12 @@ class ConvolutionalEncoder(nn.Module):
     n_objs: int = 2
     hidden_dim: int = 200
     out_features: int = 2
+    # [extension] slot curriculum: only the first `active_slots` object
+    # slots participate in the attention softmax (0 = all). Inactive
+    # slots' mask logits are driven to -inf so their attention mass goes
+    # to the background; parameters keep identical shapes across stages,
+    # so staged runs resume from each other's checkpoints.
+    active_slots: int = 0
 
     @nn.compact
     def __call__(self, inp):  # [N, H, W, C]
@@ -219,6 +225,10 @@ class ConvolutionalEncoder(nn.Module):
             logits = ShallowUNet(8, self.n_objs)(inp)
         else:
             logits = UNet(16, self.n_objs)(inp)
+
+        if 0 < self.active_slots < self.n_objs:
+            gate = jnp.arange(self.n_objs) < self.active_slots
+            logits = jnp.where(gate[None, None, None, :], logits, -1e6)
 
         ones = jnp.ones((n, height, width, 1), logits.dtype)
         enc_masks = jax.nn.softmax(

@@ -141,6 +141,17 @@ class PhysicsNet(nn.Module):
     # disjoint (correct) solutions. Applied from step 0 (discovery-phase
     # loss, NOT gated by --aux_warmup_epochs).
     attn_overlap_loss: float = 0.0
+    # [extension, default off] slot curriculum: only the first
+    # active_slots object slots are live (0 = all). From-scratch
+    # discovery on >=2-fast-object / 3-object tasks reliably collapses
+    # all slots onto one object (see attn_overlap_loss note); activating
+    # slots one stage at a time makes each new slot's strongest gradient
+    # the still-unexplained object. Parameter shapes are identical across
+    # stages, so staged runs resume from each other's checkpoints
+    # (`--use_ckpt`). Run discovery stages with --recons_warmup
+    # --aux_warmup_epochs=<stage> so inactive-slot garbage positions
+    # never reach the prediction loss.
+    active_slots: int = 0
     # [extension, default off] Gauss-Newton iterations for the dynamics-
     # consistent initial-state fit (ops/state_fit.py): the rollout start
     # state is least-squares fitted to the encoder positions of the whole
@@ -230,6 +241,14 @@ class PhysicsNet(nn.Module):
         template_raw = VariableFromNetwork(
             (self.n_objs, self.tmpl_size, self.tmpl_size),
             name="var_net_template")()
+        if 0 < self.active_slots < self.n_objs:
+            # Slot curriculum (see field note): inactive slots become
+            # invisible — template logits to -inf kills their softmax
+            # mask everywhere the warp places them.
+            slot_gate = jnp.arange(self.n_objs) < self.active_slots
+            template_raw = jnp.where(slot_gate[:, None, None],
+                                     template_raw, -1e4)
+
         assets = DecoderAssets(
             template=template_raw,
             contents=contents_raw,
@@ -240,7 +259,8 @@ class PhysicsNet(nn.Module):
         frames = x[:, :t_in].reshape(b * t_in, img, img, ch)
         enc_pos_flat, enc_masks, masked_objs = ConvolutionalEncoder(
             input_hw=(img, img), n_objs=self.n_objs, hidden_dim=200,
-            out_features=2, name="encoder")(frames)
+            out_features=2, active_slots=self.active_slots,
+            name="encoder")(frames)
 
         # --- autoencoder path ---------------------------------------------
         recons_flat, _ = st_decode(assets, enc_pos_flat, cfg,

@@ -168,3 +168,34 @@ def test_attn_overlap_penalty_detects_slot_collapse():
         (m_[..., :2].sum(-1) ** 2 - (m_[..., :2] ** 2).sum(-1)),
         axis=(1, 2))))
     assert overlap(a) > 0.9 and overlap(b) < 1e-9
+
+
+def test_slot_curriculum_gating():
+    """active_slots=1 must make slot 1+ invisible (identical params,
+    different render) while keeping parameter shapes identical so staged
+    checkpoints interchange."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paig_reproduction_tpu.models import PhysicsNet
+
+    rs = np.random.RandomState(0)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="spring_color", cell_type="spring_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    m_all = PhysicsNet(**kw)
+    m_one = PhysicsNet(active_slots=1, **kw)
+    params = m_all.init(jax.random.PRNGKey(0), inp)
+    # identical shapes: the gated model accepts the full model's params
+    out_all, aux_all = m_all.apply(params, inp)
+    out_one, aux_one = m_one.apply(params, inp, with_extras=True)
+    assert out_one.shape == out_all.shape
+    assert bool(jnp.all(jnp.isfinite(out_one)))
+
+    # slot 1's encoder attention is dead under the gate
+    em = aux_one["extras"]["enc_masks"]        # [N, H, W, n_objs+1]
+    assert float(em[..., 1].max()) < 1e-6
+    # and the gated render differs from the full render
+    assert not np.allclose(np.asarray(out_one), np.asarray(out_all))
