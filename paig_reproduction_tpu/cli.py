@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "attention masks). Breaks the both-slots-"
                              "on-one-object discovery collapse; active "
                              "from step 0 (not gated by aux warmup)")
+    parser.add_argument("--template_init", type=float, default=0.0,
+                        help="[extension] Object-prior template init: "
+                             "templates start as a centered disk of this "
+                             "radius in template px (0 = reference "
+                             "random init)")
     parser.add_argument("--active_slots", type=int, default=0,
                         help="[extension] Slot curriculum: only the "
                              "first N object slots are live (0 = all). "
@@ -252,6 +257,7 @@ def main(argv=None):
             init_state_fit=args.init_state_fit,
             attn_overlap_loss=args.attn_overlap_loss,
             active_slots=args.active_slots,
+            template_init=args.template_init,
             decoder_backend=args.decoder_backend)
 
     if not args.test_mode:

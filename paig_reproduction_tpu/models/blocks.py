@@ -293,13 +293,25 @@ class VelocityEncoder(nn.Module):
 class VariableFromNetwork(nn.Module):
     """A free variable of arbitrary shape generated by a 2-layer MLP applied
     to a constant ones(1, 10) input — the PAIG trick used for learned object
-    templates, contents and background (reference blocks.py:311-322)."""
+    templates, contents and background (reference blocks.py:311-322).
+
+    ``init_bias`` ([extension], default None = reference behavior) adds a
+    constant array to the output — used for the object-prior template
+    initialization (--template_init): the variable starts at the prior
+    plus the usual small random MLP output, and the MLP learns deltas
+    around it (fully learnable)."""
 
     shape: Sequence[int]
+    init_bias: object = None
 
     @nn.compact
     def __call__(self):
         x = jnp.ones((1, 10))
         x = jnp.tanh(TorchDense(200)(x))
         x = TorchDense(int(np.prod(self.shape)))(x)
-        return x.reshape(tuple(self.shape))
+        x = x.reshape(tuple(self.shape))
+        if self.init_bias is not None:
+            # constant offset: the variable starts at the prior and the
+            # (small-init) MLP learns deltas around it
+            x = x + jnp.asarray(self.init_bias, x.dtype)
+        return x

@@ -152,6 +152,14 @@ class PhysicsNet(nn.Module):
     # --aux_warmup_epochs=<stage> so inactive-slot garbage positions
     # never reach the prediction loss.
     active_slots: int = 0
+    # [extension, default off] object-prior template initialization: the
+    # template mask logits start as a centered disk of this radius (in
+    # template pixels; 0 = reference random init). Random-init templates
+    # begin as noise, so nothing looks like an object until discovery
+    # bootstraps; a small centered bump gives every slot an object
+    # hypothesis from step 0 — its position gradient then tracks bright
+    # blobs instead of re-inventing "objectness".
+    template_init: float = 0.0
     # [extension, default off] Gauss-Newton iterations for the dynamics-
     # consistent initial-state fit (ops/state_fit.py): the rollout start
     # state is least-squares fitted to the encoder positions of the whole
@@ -238,9 +246,19 @@ class PhysicsNet(nn.Module):
             name="var_net_content")()
         background_raw = VariableFromNetwork(
             (img, img, ch), name="var_net_background")()
+        tmpl_prior = None
+        if self.template_init > 0:
+            # centered-disk logit prior: +6 inside radius, -6 outside
+            # (the decoder's +5/-5 trick keeps out-of-support at -5, so
+            # these magnitudes put the prior mask firmly on/off).
+            c = (self.tmpl_size - 1) / 2.0
+            yy, xx = jnp.mgrid[: self.tmpl_size, : self.tmpl_size]
+            rr = jnp.sqrt((yy - c) ** 2 + (xx - c) ** 2)
+            disk = jnp.where(rr <= self.template_init, 6.0, -6.0)
+            tmpl_prior = jnp.tile(disk[None], (self.n_objs, 1, 1))
         template_raw = VariableFromNetwork(
             (self.n_objs, self.tmpl_size, self.tmpl_size),
-            name="var_net_template")()
+            init_bias=tmpl_prior, name="var_net_template")()
         if 0 < self.active_slots < self.n_objs:
             # Slot curriculum (see field note): inactive slots become
             # invisible — template logits to -inf kills their softmax
