@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--grad_clip", type=float, default=0.0,
                         help="[extension] Global-norm gradient clipping "
                              "(0 = off)")
+    parser.add_argument("--bg_lr_mult", type=float, default=1.0,
+                        help="[extension] LR multiplier for the learned "
+                             "background net. <1 slows background "
+                             "absorption of not-yet-discovered objects "
+                             "(the residual-gradient killer in hard "
+                             "discovery)")
     parser.add_argument("--learn_frame_offset", action="store_true",
                         help="[extension] Learn per-object coordinate "
                              "offsets between encoder space and the "
@@ -277,7 +283,8 @@ def main(argv=None):
                                 steps_per_epoch=steps_per_epoch,
                                 physics_lr_mult=args.physics_lr_mult,
                                 grad_clip=args.grad_clip,
-                                aux_warmup_epochs=args.aux_warmup_epochs)
+                                aux_warmup_epochs=args.aux_warmup_epochs,
+                                bg_lr_mult=args.bg_lr_mult)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
         trainer.train_model(args.epochs, args.batch_size,

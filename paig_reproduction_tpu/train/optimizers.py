@@ -56,7 +56,8 @@ def lr_schedule(base_lr: float, epochs: int, steps_per_epoch: int,
 
 def build_optimizer(name: str, schedule, params,
                     physics_lr_mult: float = 1.0,
-                    grad_clip: float = 0.0
+                    grad_clip: float = 0.0,
+                    bg_lr_mult: float = 1.0
                     ) -> optax.GradientTransformation:
     if name not in OPTIMIZERS:
         raise KeyError(f"Unknown optimizer {name!r}; "
@@ -73,6 +74,8 @@ def build_optimizer(name: str, schedule, params,
         if physics_lr_mult != 1.0 and \
                 any(n in PHYSICS_PARAM_NAMES for n in names):
             return "physics"
+        if bg_lr_mult != 1.0 and "var_net_background" in names:
+            return "background"
         return "train"
 
     labels = jax.tree_util.tree_map_with_path(label, params)
@@ -86,4 +89,13 @@ def build_optimizer(name: str, schedule, params,
         branches["physics"] = optax.chain(
             OPTIMIZERS[name](schedule),
             optax.scale(physics_lr_mult))
+    if "background" in label_set:
+        # [extension] --bg_lr_mult: slow the learned background during
+        # discovery. The background otherwise absorbs the blurred average
+        # of any not-yet-discovered object, which kills the residual
+        # gradient a dead slot needs to find it (measured failure mode on
+        # bouncing/3bp/mnist — see benchmarks/CONVERGENCE.md).
+        branches["background"] = optax.chain(
+            OPTIMIZERS[name](schedule),
+            optax.scale(bg_lr_mult))
     return optax.multi_transform(branches, labels)

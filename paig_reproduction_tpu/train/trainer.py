@@ -116,7 +116,8 @@ class Trainer:
                         epochs: int = 0, steps_per_epoch: int = 1,
                         physics_lr_mult: float = 1.0,
                         grad_clip: float = 0.0,
-                        aux_warmup_epochs: int = 0):
+                        aux_warmup_epochs: int = 0,
+                        bg_lr_mult: float = 1.0):
         """Mirrors reference build_optimizer (physics_models.py:144-149) +
         the working anneal schedule."""
         self.base_lr = base_lr
@@ -127,7 +128,8 @@ class Trainer:
         self.aux_warmup_steps = aux_warmup_epochs * steps_per_epoch
         self.tx = opt_lib.build_optimizer(optimizer, schedule, self.params,
                                           physics_lr_mult=physics_lr_mult,
-                                          grad_clip=grad_clip)
+                                          grad_clip=grad_clip,
+                                          bg_lr_mult=bg_lr_mult)
         self.opt_state = self.tx.init(self.params)
         self.step = 0
         self._compile_steps()

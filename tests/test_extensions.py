@@ -199,3 +199,27 @@ def test_slot_curriculum_gating():
     assert float(em[..., 1].max()) < 1e-6
     # and the gated render differs from the full render
     assert not np.allclose(np.asarray(out_one), np.asarray(out_all))
+
+
+def test_bg_lr_mult_scales_background_updates():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.train import optimizers as opt_lib
+
+    rs = np.random.RandomState(0)
+    inp = jnp.asarray(rs.rand(1, 12, 3, 32, 32), jnp.float32)
+    m = PhysicsNet(task="spring_color", cell_type="spring_ode_cell",
+                   seq_len=12, input_steps=4, pred_steps=6,
+                   autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    params = m.init(jax.random.PRNGKey(0), inp)["params"]
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    tx = opt_lib.build_optimizer("sgd", 1e-2, params, bg_lr_mult=0.1)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    bg = upd["var_net_background"]["TorchDense_0"]["kernel"]
+    other = upd["encoder"]["TorchDense_0"]["kernel"]
+    np.testing.assert_allclose(float(bg.ravel()[0]),
+                               0.1 * float(other.ravel()[0]), rtol=1e-5)
