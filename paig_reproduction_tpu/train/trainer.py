@@ -391,11 +391,17 @@ class Trainer:
                     n_done = idxs.shape[0]
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
-                    for i in range(n_done):
-                        if (step + i) % print_interval == 0:
-                            m = {kk: float(v[i])
-                                 for kk, v in metrics.items()}
-                            self._log_train_metrics(m, step + i)
+                    if any((step + i) % print_interval == 0
+                           for i in range(n_done)):
+                        # one device->host fetch for the whole chunk's
+                        # metrics; per-key float() costs a full tunnel
+                        # round-trip each (~10 ms) otherwise
+                        host = jax.device_get(metrics)
+                        for i in range(n_done):
+                            if (step + i) % print_interval == 0:
+                                m = {kk: float(v[i])
+                                     for kk, v in host.items()}
+                                self._log_train_metrics(m, step + i)
                     step += n_done
                     self.step = step
                     continue
