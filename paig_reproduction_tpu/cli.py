@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "first N object slots are live (0 = all). "
                              "Stage discovery runs with increasing N, "
                              "resuming via --use_ckpt")
+    parser.add_argument("--slot_gate_soft", type=float, default=0.0,
+                        help="[extension] Soft encoder gate for the slot "
+                             "curriculum: inactive slots get this logit "
+                             "handicap instead of -inf, so their "
+                             "attention channels keep learning before "
+                             "activation (0 = hard gate)")
     parser.add_argument("--decoder_backend", type=str, default="auto",
                         choices=("auto", "xla", "pallas"),
                         help="[extension] ST-decoder compute backend "
@@ -263,6 +269,7 @@ def main(argv=None):
             init_state_fit=args.init_state_fit,
             attn_overlap_loss=args.attn_overlap_loss,
             active_slots=args.active_slots,
+            slot_gate_soft=args.slot_gate_soft,
             template_init=args.template_init,
             decoder_backend=args.decoder_backend)
 

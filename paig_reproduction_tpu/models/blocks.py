@@ -211,10 +211,18 @@ class ConvolutionalEncoder(nn.Module):
     out_features: int = 2
     # [extension] slot curriculum: only the first `active_slots` object
     # slots participate in the attention softmax (0 = all). Inactive
-    # slots' mask logits are driven to -inf so their attention mass goes
-    # to the background; parameters keep identical shapes across stages,
-    # so staged runs resume from each other's checkpoints.
+    # slots' mask logits are driven to -inf (hard gate) so their
+    # attention mass goes to the background; parameters keep identical
+    # shapes across stages, so staged runs resume from each other's
+    # checkpoints.
     active_slots: int = 0
+    # [extension] soft variant: subtract this offset from inactive-slot
+    # logits instead of -inf. The hard gate freezes inactive UNet output
+    # channels (jnp.where passes them zero gradient), so a later stage
+    # activates a blind slot (measured: mnist stage 2 never found the
+    # second digit); a soft handicap keeps those channels learning while
+    # the decoder still hides the slot.
+    slot_gate_soft: float = 0.0
 
     @nn.compact
     def __call__(self, inp):  # [N, H, W, C]
@@ -228,7 +236,10 @@ class ConvolutionalEncoder(nn.Module):
 
         if 0 < self.active_slots < self.n_objs:
             gate = jnp.arange(self.n_objs) < self.active_slots
-            logits = jnp.where(gate[None, None, None, :], logits, -1e6)
+            gated = (logits - self.slot_gate_soft
+                     if self.slot_gate_soft > 0 else
+                     jnp.full_like(logits, -1e6))
+            logits = jnp.where(gate[None, None, None, :], logits, gated)
 
         ones = jnp.ones((n, height, width, 1), logits.dtype)
         enc_masks = jax.nn.softmax(

