@@ -241,9 +241,13 @@ def _e2e_throughput(model, B, T):
                             print_interval=10, debug=True)
         e2e_fps = trainer.last_train_fps
         # Eval pass timed separately, incl. the outputs.npz dump the
-        # reference also writes every eval (base.py:212-214).
+        # reference also writes every eval (base.py:212-214): the writer
+        # runs on a thread off the metric path, so flush_artifacts() both
+        # charges it to the timed region honestly and keeps the writer
+        # from racing the TemporaryDirectory cleanup.
         t0 = time.perf_counter()
         trainer.eval_performance(B, type="valid")
+        trainer.flush_artifacts()
         dt_eval = time.perf_counter() - t0
         eval_fps = n_eval * T / dt_eval
     return e2e_fps, eval_fps

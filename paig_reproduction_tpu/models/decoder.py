@@ -155,8 +155,9 @@ def _pallas_decode_fn(cfg: DecoderConfig):
         return st_decode_pallas(
             pos, joint, background, img=h, tmpl=cfg.tmpl_size,
             n_objs=cfg.n_objs, ch=cfg.conv_ch, sigma=float(cfg.log_sig),
-            # Mosaic lowering needs a real TPU; emulated meshes interpret.
-            interpret=jax.default_backend() == "cpu")
+            # Mosaic lowering needs a real TPU; every other backend
+            # (emulated CPU meshes, GPU) runs the kernel interpreted.
+            interpret=jax.default_backend() != "tpu")
 
     @jax.custom_vjp
     def run(template, contents, background, pos):

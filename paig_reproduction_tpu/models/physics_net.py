@@ -41,7 +41,10 @@ from paig_reproduction_tpu.models.decoder import (
 )
 from paig_reproduction_tpu.ops import cells
 from paig_reproduction_tpu.ops.cells import CellParams
-from paig_reproduction_tpu.ops.state_fit import fit_initial_state
+from paig_reproduction_tpu.ops.state_fit import (
+    fit_initial_state,
+    fit_initial_state_bouncing,
+)
 
 # Latent units per task: coord_units = n_objects * 2 (dims) * 2 (pos+vel)
 # (reference physics_models.py:31-37).
@@ -343,9 +346,16 @@ class PhysicsNet(nn.Module):
             pos_phys0, vel0 = pos + frame_off, vel
             if self.init_state_fit > 0 and self.input_steps > 1:
                 obs_phys = enc_pos[:, :self.input_steps] + frame_off
-                pos_phys0, vel0 = fit_initial_state(
-                    step_fn, cell_params, obs_phys, vel, dt,
-                    self.cell_substeps, self.init_state_fit)
+                if self.cell_type == "bouncing_ode_cell":
+                    # The GN fit's linearization breaks on the bouncing
+                    # cell's reflections; the unfolded-space fit is exact
+                    # for it (see ops/state_fit.fit_initial_state_bouncing).
+                    pos_phys0, vel0 = fit_initial_state_bouncing(
+                        obs_phys, vel, dt)
+                else:
+                    pos_phys0, vel0 = fit_initial_state(
+                        step_fn, cell_params, obs_phys, vel, dt,
+                        self.cell_substeps, self.init_state_fit)
 
             def body(carry, _):
                 p_phys, v = carry

@@ -42,6 +42,15 @@ def init_distributed(coordinator: Optional[str] = None,
 
     if coordinator is None and num_processes is None:
         return 0
+    missing = [name for name, v in (("PAIG_COORDINATOR", coordinator),
+                                    ("PAIG_NUM_PROCESSES", num_processes),
+                                    ("PAIG_PROCESS_ID", process_id))
+               if v is None]
+    if missing:
+        raise ValueError(
+            "partial multi-process config: set all of PAIG_COORDINATOR, "
+            "PAIG_NUM_PROCESSES and PAIG_PROCESS_ID (or none of them); "
+            f"missing {missing}")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -51,7 +60,14 @@ def init_distributed(coordinator: Optional[str] = None,
 
 def process_local_rows(n_rows: int) -> slice:
     """The half-open row range of a global batch this process owns under
-    batch sharding over the 'data' axis (row-major process order)."""
+    batch sharding over the 'data' axis (row-major process order).
+
+    Contract: every process must hold an IDENTICALLY-ORDERED host batch
+    (same dataset file, same shuffling RNG state) — each process slices
+    its own rows out of the logically-global array. The CLI guarantees
+    this by seeding the global numpy RNG from --seed on every process
+    (cli.py); any other multi-host entry point must do the same or feed
+    divergent per-process batches silently."""
     pc, pi = jax.process_count(), jax.process_index()
     assert n_rows % pc == 0, (n_rows, pc)
     per = n_rows // pc

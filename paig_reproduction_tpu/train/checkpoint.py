@@ -76,9 +76,14 @@ def restore_checkpoint(restore_dir: str, target_tree):
     for p, t in flat_t:
         key = _path_str(p)
         src = flat_r.get(key)
-        if src is not None and np.size(src) == np.size(t):
+        # Exact-shape match only (modulo scalar/0-d normalization): a
+        # same-size but differently-shaped leaf would silently restore
+        # into a semantically wrong layout if reshaped, so it is skipped
+        # like any other mismatch.
+        if src is not None and (np.shape(src) == np.shape(t)
+                                or np.size(src) == np.size(t) == 1):
             out.append(jax.numpy.asarray(
-                src, dtype=t.dtype).reshape(t.shape))
+                src, dtype=t.dtype).reshape(np.shape(t)))
         else:
             # absent OR shape-incompatible (e.g. cross-task warm start:
             # a 3-object 36px model restoring a 2-object 32px checkpoint

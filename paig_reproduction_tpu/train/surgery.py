@@ -1,0 +1,164 @@
+"""Checkpoint surgery for unsupervised object-discovery rescue.
+
+TPU-side extension with no reference counterpart: the reference
+(``nn/network/physics_models.py``) has no recovery path when a slot dies
+during discovery — and dead slots are the measured failure mode on every
+hard task (one slot per extra object collapses and the learned background
+absorbs that object's blurred average; benchmarks/CONVERGENCE.md).
+
+The decoder's free variables (templates, contents, background) are each
+produced by a tiny MLP applied to a constant ones(1, 10) input
+(``models/blocks.VariableFromNetwork``, reference blocks.py:311-322).
+Because the input is constant, any target output can be installed EXACTLY
+by adjusting only the final layer's bias:
+
+    out = h @ W + b,  h = tanh(ones @ W0 + b0)   (h is constant)
+    b[idx] := target[idx] - (h @ W)[idx]
+
+which leaves the MLP fully trainable around the installed value. Three
+surgical operations build on this:
+
+* ``set_background`` — install a known background image. Combined with
+  ``median_background`` (pixelwise median over training frames — moving
+  objects vanish from a temporal median, so for these datasets' static
+  backgrounds the median IS the background) and ``--bg_lr_mult=0``, the
+  background can be pinned to the truth, leaving moving objects as the
+  only residual a dead slot needs to find.
+* ``rescue_slot`` — re-initialize one slot's template to a centered-disk
+  object prior and its contents to mid-gray, giving a dead slot a fresh
+  object hypothesis without touching the healthy slots.
+* ``slot_health`` — rank slots by template mask mass to find the dead one.
+
+All functions are pure numpy on host param pytrees (surgery happens
+between runs, not inside the compiled step).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+# Raw-logit magnitudes for installed template disks, matching the
+# --template_init prior (models/physics_net.py): the decoder shifts raw
+# template logits by +5/-5 (decoder.py), so +6/-6 puts the installed mask
+# firmly on/off while staying in sigmoid's trainable range.
+DISK_IN, DISK_OUT = 6.0, -6.0
+
+
+def _leaf(params, *path):
+    node = params
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+def var_net_forward(params: Dict, var_name: str) -> np.ndarray:
+    """Exact host-side forward of a VariableFromNetwork: flat [prod] f32.
+
+    Mirrors blocks.VariableFromNetwork.__call__ (tanh MLP on ones(1, 10));
+    any --template_init init_bias is NOT included (it is a graph constant,
+    not a parameter — callers installing absolute targets into a model
+    built with --template_init must subtract the prior themselves).
+    """
+    sub = params[var_name]
+    h = np.tanh(np.ones((1, 10)) @ _leaf(sub, "TorchDense_0", "kernel")
+                + _leaf(sub, "TorchDense_0", "bias"))
+    out = h @ _leaf(sub, "TorchDense_1", "kernel") \
+        + _leaf(sub, "TorchDense_1", "bias")
+    return out[0]
+
+
+def set_var_net_output(params: Dict, var_name: str, target: np.ndarray,
+                       idx: Optional[np.ndarray] = None) -> Dict:
+    """Return params with ``var_name``'s output set EXACTLY to ``target``
+    (flat) at flat indices ``idx`` (None = everywhere), via final-bias
+    adjustment. Everything stays trainable."""
+    sub = params[var_name]
+    h = np.tanh(np.ones((1, 10)) @ _leaf(sub, "TorchDense_0", "kernel")
+                + _leaf(sub, "TorchDense_0", "bias"))
+    wout = (h @ _leaf(sub, "TorchDense_1", "kernel"))[0]
+    bias = _leaf(sub, "TorchDense_1", "bias").copy()
+    target = np.asarray(target, bias.dtype).reshape(-1)
+    if idx is None:
+        assert target.shape == bias.shape, (target.shape, bias.shape)
+        bias = target - wout
+    else:
+        bias[idx] = target - wout[idx]
+    out = dict(params)
+    out[var_name] = dict(sub)
+    out[var_name]["TorchDense_1"] = dict(sub["TorchDense_1"])
+    out[var_name]["TorchDense_1"]["bias"] = bias.astype(
+        _leaf(sub, "TorchDense_1", "bias").dtype)
+    return out
+
+
+def logit(p: np.ndarray, eps: float = 1e-3) -> np.ndarray:
+    p = np.clip(np.asarray(p, np.float64), eps, 1.0 - eps)
+    return np.log(p / (1.0 - p)).astype(np.float32)
+
+
+def median_background(frames: np.ndarray, max_frames: int = 2000
+                      ) -> np.ndarray:
+    """Pixelwise temporal median -> [H, W, C] float in [0, 1].
+
+    frames: [N, T, C, H, W] (dataset layout) or [N, C, H, W], uint8 or
+    float. For a static background with transient moving objects, the
+    median over enough frames equals the background exactly wherever each
+    pixel is object-free in >50% of frames — true for these datasets'
+    small fast objects.
+    """
+    f = np.asarray(frames)
+    if f.ndim == 5:
+        f = f.reshape(-1, *f.shape[2:])
+    if f.shape[0] > max_frames:
+        sel = np.linspace(0, f.shape[0] - 1, max_frames).astype(int)
+        f = f[sel]
+    f = f.astype(np.float32)
+    if f.max() > 1.5:
+        f = f / 255.0
+    med = np.median(f, axis=0)                       # [C, H, W]
+    return med.transpose(1, 2, 0)                    # [H, W, C]
+
+
+def set_background(params: Dict, bg_img: np.ndarray) -> Dict:
+    """Install bg_img ([H, W, C] in [0, 1]) as the decoded background
+    (the model applies sigmoid to the raw variable, physics_net.py)."""
+    return set_var_net_output(params, "var_net_background",
+                              logit(bg_img).reshape(-1))
+
+
+def disk_template_logits(tmpl_size: int, radius: float) -> np.ndarray:
+    """Centered-disk raw template logits [T, T] (+DISK_IN/-DISK_OUT)."""
+    c = (tmpl_size - 1) / 2.0
+    yy, xx = np.mgrid[:tmpl_size, :tmpl_size]
+    rr = np.sqrt((yy - c) ** 2 + (xx - c) ** 2)
+    return np.where(rr <= radius, DISK_IN, DISK_OUT).astype(np.float32)
+
+
+def slot_health(params: Dict, n_objs: int, tmpl_size: int
+                ) -> np.ndarray:
+    """Per-slot template mask mass (px): sum of sigmoid(raw_logits) per
+    slot, the decoder's own weighting of template support. Dead slots
+    score near zero."""
+    t = var_net_forward(params, "var_net_template").reshape(
+        n_objs, tmpl_size, tmpl_size)
+    return (1.0 / (1.0 + np.exp(-t))).sum(axis=(1, 2))
+
+
+def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,
+                conv_ch: int, radius: float = 9.0,
+                content_rgb: Sequence[float] = (0.5, 0.5, 0.5)) -> Dict:
+    """Re-initialize one slot's template (centered disk) and contents
+    (flat color), leaving other slots untouched."""
+    tt = tmpl_size * tmpl_size
+    tmpl_idx = np.arange(slot * tt, (slot + 1) * tt)
+    params = set_var_net_output(
+        params, "var_net_template",
+        disk_template_logits(tmpl_size, radius).reshape(-1), tmpl_idx)
+    ctt = tt * conv_ch
+    cont_idx = np.arange(slot * ctt, (slot + 1) * ctt)
+    content = np.tile(logit(np.asarray(content_rgb, np.float32))[None],
+                      (tt, 1)).reshape(-1)
+    params = set_var_net_output(params, "var_net_content", content,
+                                cont_idx)
+    return params

@@ -18,6 +18,10 @@ Intended-semantics divergences (documented; SURVEY.md §3.1):
   drawn batch's ground truth (mismatched pairs, physics_models.py:249-259).
 * example%d.jpg frames are transposed CHW->HWC; the reference reshapes
   (physics_models.py:271), which scrambles color channels into pixels.
+* visualize_sequence writes min(batch_size, $PAIG_VIZ_EXAMPLES=8) example
+  JPGs/GIF strips per eval; the reference writes batch_size (=100) of
+  each (physics_models.py:263) — ~300 matplotlib renders per eval, which
+  would dominate eval wall time. Set PAIG_VIZ_EXAMPLES=100 for parity.
 
 Metric definitions, artifact names and log formats are identical.
 """
@@ -361,6 +365,32 @@ class Trainer:
             self.mesh,
             jax.sharding.PartitionSpec(None, "data")
             if jax.process_count() == 1 else jax.sharding.PartitionSpec())
+        # Fused-chunk length: independent of the logging cadence (a user
+        # with --print_interval=1 must NOT silently fall back to per-step
+        # dispatch; per-step metrics for every step of a chunk come back
+        # in one array regardless). PAIG_CHUNK_STEPS overrides.
+        chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
+        chunk_k = chunk_env if chunk_env > 0 else max(25, print_interval)
+
+        # Deferred metric logging: the device->host fetch for chunk n
+        # happens after chunk n+1 has been dispatched, so the round-trip
+        # overlaps device execution instead of serializing with it.
+        pending_metrics = None
+
+        def drain_pending():
+            nonlocal pending_metrics
+            if pending_metrics is None:
+                return
+            metrics_d, step0, n_done = pending_metrics
+            pending_metrics = None
+            if any((step0 + i) % print_interval == 0
+                   for i in range(n_done)):
+                host = jax.device_get(metrics_d)
+                for i in range(n_done):
+                    if (step0 + i) % print_interval == 0:
+                        m = {kk: float(v[i]) for kk, v in host.items()}
+                        self._log_train_metrics(m, step0 + i)
+
         for ep in range(1, epochs + 1):
             while (native.epochs_completed if native is not None
                    else self.train_iterator.epochs_completed) < ep:
@@ -380,9 +410,8 @@ class Trainer:
                     self.step = step
                     continue
                 if use_fused:
-                    k = max(1, print_interval)
                     idxs = self.train_iterator.next_index_batches(
-                        batch_size, k).astype(np.int32)
+                        batch_size, chunk_k).astype(np.int32)
                     idxs_d = global_batch(idxs, idx_sharding)
                     self.params, self.opt_state, metrics = \
                         self._train_chunk(self.params, self.opt_state,
@@ -391,17 +420,11 @@ class Trainer:
                     n_done = idxs.shape[0]
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
-                    if any((step + i) % print_interval == 0
-                           for i in range(n_done)):
-                        # one device->host fetch for the whole chunk's
-                        # metrics; per-key float() costs a full tunnel
-                        # round-trip each (~10 ms) otherwise
-                        host = jax.device_get(metrics)
-                        for i in range(n_done):
-                            if (step + i) % print_interval == 0:
-                                m = {kk: float(v[i])
-                                     for kk, v in host.items()}
-                                self._log_train_metrics(m, step + i)
+                    # fetch/log the PREVIOUS chunk (overlaps this one's
+                    # execution; one device->host fetch per chunk — per-
+                    # key float() costs a tunnel round-trip each)
+                    drain_pending()
+                    pending_metrics = (metrics, step, n_done)
                     step += n_done
                     self.step = step
                     continue
@@ -421,6 +444,8 @@ class Trainer:
                     self._log_train_metrics(metrics, step)
                 step += 1
                 self.step = step
+
+            drain_pending()   # epoch boundary: train lines precede eval's
 
             if ep % eval_every_n_epochs == 0:
                 print("eval running")

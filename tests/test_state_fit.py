@@ -137,3 +137,136 @@ def test_unexplainable_window_falls_back_to_naive():
                              cells.SPRING_DT, 5, iters=3)
     np.testing.assert_allclose(p, obs[:, -1], atol=1e-5)
     np.testing.assert_allclose(v, vel, atol=1e-5)
+
+
+# ---------- reflection-aware bouncing fit ----------------------------------
+
+from paig_reproduction_tpu.ops.state_fit import (  # noqa: E402
+    align_slot_identities,
+    fit_initial_state_bouncing,
+)
+
+
+def _bouncing_states(rs, b, s, vmax=8.0):
+    """Simulate s frames of ground-truth bouncing states [B, s, 4],
+    biased toward wall-adjacent starts so the window contains bounces."""
+    pos = jnp.asarray(np.concatenate(
+        [rs.uniform(2.5, 6.0, (b // 2, 4)),       # near the low wall
+         rs.uniform(4.0, 28.0, (b - b // 2, 4))], axis=0))
+    vel = jnp.asarray(rs.uniform(-vmax, vmax, (b, 4)))
+    ps, vs = [pos], [vel]
+    for _ in range(s - 1):
+        pos, vel = cells.bouncing_step(None, pos, vel)
+        ps.append(pos)
+        vs.append(vel)
+    return jnp.stack(ps, 1), jnp.stack(vs, 1)
+
+
+def test_bouncing_fit_exact_recovery_through_bounces():
+    """Noise-free windows — including ones containing a wall bounce —
+    recover the true frame-(s-1) state exactly (the unfolded trajectory
+    is linear, so the hypothesis search is exact)."""
+    rs = np.random.RandomState(10)
+    true_pos, true_vel = _bouncing_states(rs, 64, 4)
+    # drop samples whose two objects come within 3 px of each other at any
+    # frame: the slot alignment is (correctly) ambiguous there, and the
+    # position error of either assignment is bounded by the separation
+    p4 = np.asarray(true_pos).reshape(-1, 4, 2, 2)
+    sep = np.linalg.norm(p4[:, :, 0] - p4[:, :, 1], axis=-1).min(axis=1)
+    true_pos, true_vel = true_pos[sep > 3.0], true_vel[sep > 3.0]
+    assert true_pos.shape[0] >= 24
+    # verify the generator actually produced in-window bounces
+    sign_flips = np.any(np.sign(true_vel[:, 0]) != np.sign(true_vel[:, -1]),
+                        axis=-1)
+    assert sign_flips.sum() >= 5
+    bad_vel = true_vel[:, -1] + 1.5
+    p, v = fit_initial_state_bouncing(true_pos, bad_vel, cells.BOUNCING_DT)
+    np.testing.assert_allclose(p, true_pos[:, -1], atol=1e-3)
+    np.testing.assert_allclose(v, true_vel[:, -1], atol=1e-3)
+
+
+def test_bouncing_fit_noisy_beats_naive_rolled_out():
+    """Under encoder-like noise the fit must beat last-frame + noisy-MLP
+    on the 6-frame rollout — the metric that sets eval_pred_loss."""
+    rs = np.random.RandomState(11)
+    b, s, sigma = 256, 4, 0.2
+    true_pos, true_vel = _bouncing_states(rs, b, s)
+    obs = true_pos + sigma * rs.randn(b, s, 4)
+    vel_mlp = true_vel[:, -1] + 0.8 * rs.randn(b, 4)
+    pf, vf = fit_initial_state_bouncing(obs, vel_mlp, cells.BOUNCING_DT)
+
+    def err(a, t):
+        return float(jnp.sqrt(((a - t) ** 2).sum(-1)).mean())
+
+    # 0.65: measured 0.63x; the residual tail is the irreducible
+    # last-frame-bounce ambiguity (a bounce right before frame s-1 is
+    # indistinguishable from none in position space)
+    assert err(vf, true_vel[:, -1]) < 0.65 * err(vel_mlp, true_vel[:, -1])
+
+    pos_n, vel_n = obs[:, -1], vel_mlp
+    pos_f, vel_f = pf, vf
+    pos_t, vel_t = true_pos[:, -1], true_vel[:, -1]
+    for _ in range(6):
+        pos_n, vel_n = cells.bouncing_step(None, pos_n, vel_n)
+        pos_f, vel_f = cells.bouncing_step(None, pos_f, vel_f)
+        pos_t, vel_t = cells.bouncing_step(None, pos_t, vel_t)
+    assert err(pos_f, pos_t) < 0.65 * err(pos_n, pos_t)
+
+
+def test_bouncing_fit_handles_slot_swaps():
+    """Flickered slot assignments mid-window (the measured encoder
+    failure at ball crossings) must be re-aligned before fitting."""
+    rs = np.random.RandomState(12)
+    true_pos, true_vel = _bouncing_states(rs, 32, 4, vmax=5.0)
+    # keep objects distinguishable: drop samples where objects start close
+    sep = np.linalg.norm(np.asarray(true_pos[:, 0, :2])
+                         - np.asarray(true_pos[:, 0, 2:]), axis=-1)
+    keep = sep > 8.0
+    true_pos, true_vel = true_pos[keep], true_vel[keep]
+    assert true_pos.shape[0] >= 8
+    swapped = np.asarray(true_pos).copy()
+    swapped[:, 1] = swapped[:, 1][:, [2, 3, 0, 1]]     # flicker frame 1
+    aligned = align_slot_identities(jnp.asarray(swapped))
+    np.testing.assert_allclose(aligned, true_pos, atol=1e-6)
+
+    p, v = fit_initial_state_bouncing(jnp.asarray(swapped),
+                                      true_vel[:, -1] + 1.0,
+                                      cells.BOUNCING_DT)
+    np.testing.assert_allclose(p, true_pos[:, -1], atol=1e-3)
+    np.testing.assert_allclose(v, true_vel[:, -1], atol=1e-3)
+
+
+def test_bouncing_fit_unexplainable_window_falls_back():
+    """Observations no single-bounce free-flight line can explain fall
+    back to the naive initializer, per coordinate."""
+    obs = np.tile(np.array([16.0, 16, 16, 16], np.float32)[None, :, None],
+                  (4, 1, 4))
+    obs[:, :, 0] = [5.0, 25.0, 5.0, 25.0]     # 20 px/frame zig-zag: absurd
+    obs = jnp.asarray(obs)
+    vel = jnp.asarray(np.full((4, 4), 3.0, np.float32))
+    p, v = fit_initial_state_bouncing(obs, vel, cells.BOUNCING_DT)
+    np.testing.assert_allclose(p[:, 0], obs[:, -1, 0], atol=1e-5)
+    np.testing.assert_allclose(v[:, 0], vel[:, 0], atol=1e-5)
+    # the explainable coordinates (constant tracks) use the fit
+    np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-5)
+
+
+def test_bouncing_fit_wired_into_model():
+    """PhysicsNet(init_state_fit>0, bouncing cell) routes to the unfold
+    fit and produces finite outputs with a changed start state."""
+    from paig_reproduction_tpu.models import PhysicsNet
+
+    rs = np.random.RandomState(13)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="bouncing_balls", cell_type="bouncing_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=2.0, color=True, input_size=32 * 32)
+    m0 = PhysicsNet(**kw)
+    m1 = PhysicsNet(init_state_fit=2, **kw)
+    params = m0.init(jax.random.PRNGKey(0), inp)
+    out0, aux0 = m0.apply(params, inp)
+    out1, aux1 = m1.apply(params, inp)
+    assert out1.shape == out0.shape
+    assert bool(jnp.all(jnp.isfinite(out1)))
+    assert not np.allclose(aux0["pos_vel_seq"][:, 0],
+                           aux1["pos_vel_seq"][:, 0])
