@@ -144,6 +144,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "dynamics-consistent initial-state fit over "
                              "the input window (0 = reference initializer: "
                              "last encoded position + MLP velocity)")
+    parser.add_argument("--refine_enc_pos", type=int, default=0,
+                        help="[extension] Gauss-Newton iterations of "
+                             "render-based subpixel refinement of the "
+                             "input-window positions before the rollout "
+                             "(the model's own decoder as the position "
+                             "sensor; 0 = off)")
     parser.add_argument("--attn_overlap_loss", type=float, default=0.0,
                         help="[extension] Weight of the slot-overlap "
                              "penalty (pixelwise products of object "
@@ -267,6 +273,7 @@ def main(argv=None):
             recons_warmup=args.recons_warmup,
             cell_substeps=args.cell_substeps,
             init_state_fit=args.init_state_fit,
+            refine_enc_pos=args.refine_enc_pos,
             attn_overlap_loss=args.attn_overlap_loss,
             active_slots=args.active_slots,
             slot_gate_soft=args.slot_gate_soft,

@@ -41,6 +41,7 @@ from paig_reproduction_tpu.models.decoder import (
 )
 from paig_reproduction_tpu.ops import cells
 from paig_reproduction_tpu.ops.cells import CellParams
+from paig_reproduction_tpu.ops.pos_refine import refine_positions
 from paig_reproduction_tpu.ops.state_fit import (
     fit_initial_state,
     fit_initial_state_bouncing,
@@ -173,6 +174,13 @@ class PhysicsNet(nn.Module):
     # input window under the learned dynamics, instead of taken from the
     # last frame + MLP velocity. Uses input-window information only.
     init_state_fit: int = 0
+    # [extension, default off] Gauss-Newton iterations of render-based
+    # subpixel refinement of the input-window positions before the
+    # rollout/state fit (ops/pos_refine.py): the model's own ST decoder
+    # localizes objects 3-10x below the encoder MLP's noise floor. Only
+    # the rollout's observation window is refined; the autoencoder path
+    # and its training gradients are untouched.
+    refine_enc_pos: int = 0
 
     # ----- derived static properties -------------------------------------
     @property
@@ -303,7 +311,21 @@ class PhysicsNet(nn.Module):
         else:
             vel = jnp.zeros((b, self.coord_units // 2), x.dtype)
 
-        pos = enc_pos[:, self.input_steps - 1]
+        # Observation window feeding the rollout start (and the optional
+        # state fit). With --refine_enc_pos the window positions are
+        # subpixel-refined against the model's own renderer; the encoder
+        # MLP's output still drives the autoencoder loss above.
+        obs_win = enc_pos[:, :self.input_steps]
+        if self.refine_enc_pos > 0:
+            s = self.input_steps
+            win_frames = x[:, :s].reshape(b * s, img, img, ch)
+            obs_win = refine_positions(
+                lambda p: st_decode(assets, p, cfg,
+                                    backend=self._backend)[0],
+                win_frames, obs_win.reshape(b * s, -1),
+                iters=self.refine_enc_pos).reshape(b, s, -1)
+
+        pos = obs_win[:, -1]
 
         # --- rollout: fused cell + decode scan ------------------------------
         n_steps = self.pred_steps + self.extrap_steps
@@ -345,7 +367,7 @@ class PhysicsNet(nn.Module):
 
             pos_phys0, vel0 = pos + frame_off, vel
             if self.init_state_fit > 0 and self.input_steps > 1:
-                obs_phys = enc_pos[:, :self.input_steps] + frame_off
+                obs_phys = obs_win + frame_off
                 if self.cell_type == "bouncing_ode_cell":
                     # The GN fit's linearization breaks on the bouncing
                     # cell's reflections; the unfolded-space fit is exact

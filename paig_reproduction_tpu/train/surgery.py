@@ -101,23 +101,28 @@ def median_background(frames: np.ndarray, max_frames: int = 2000
                       ) -> np.ndarray:
     """Pixelwise temporal median -> [H, W, C] float in [0, 1].
 
-    frames: [N, T, C, H, W] (dataset layout) or [N, C, H, W], uint8 or
-    float. For a static background with transient moving objects, the
-    median over enough frames equals the background exactly wherever each
-    pixel is object-free in >50% of frames — true for these datasets'
-    small fast objects.
+    frames: [N, T, ...] (dataset layout) or [N, ...] per-frame, uint8 or
+    float, channels-last ([H, W, C], the on-disk layout) or channels-first
+    ([C, H, W], the model API layout) — disambiguated by which axis has
+    size 1 or 3. For a static background with transient moving objects,
+    the median over enough frames equals the background exactly wherever
+    each pixel is object-free in >50% of frames — true for these
+    datasets' small fast objects.
     """
     f = np.asarray(frames)
     if f.ndim == 5:
         f = f.reshape(-1, *f.shape[2:])
+    assert f.ndim == 4, f.shape
+    if f.shape[-1] not in (1, 3):
+        assert f.shape[1] in (1, 3), f.shape
+        f = f.transpose(0, 2, 3, 1)                  # CHW -> HWC
     if f.shape[0] > max_frames:
         sel = np.linspace(0, f.shape[0] - 1, max_frames).astype(int)
         f = f[sel]
     f = f.astype(np.float32)
     if f.max() > 1.5:
         f = f / 255.0
-    med = np.median(f, axis=0)                       # [C, H, W]
-    return med.transpose(1, 2, 0)                    # [H, W, C]
+    return np.median(f, axis=0)                      # [H, W, C]
 
 
 def set_background(params: Dict, bg_img: np.ndarray) -> Dict:
