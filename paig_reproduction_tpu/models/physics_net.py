@@ -47,6 +47,25 @@ from paig_reproduction_tpu.ops.state_fit import (
     fit_initial_state_bouncing,
 )
 
+def _replicate_if_mesh(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain ``x`` to be replicated when tracing under a device mesh.
+
+    The tensor-parallel param shardings (parallel/mesh.py) shard the
+    VariableFromNetwork output projections over the 'model' axis, so the
+    matmul itself runs sharded — but the resulting decoder assets are tiny
+    and are sliced per-object inside the rollout scan. Without an explicit
+    constraint GSPMD propagates the matmul sharding into those slices and
+    falls back to replicate-then-partition EVERY scan step ("Involuntary
+    full rematerialization", spmd_partitioner.cc:652). Replicating the
+    assets once, right after they are produced, turns that into a single
+    all-gather per forward. No-op without a mesh context
+    (``jax.sharding.set_mesh``)."""
+    if jax.sharding.get_abstract_mesh().empty:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.PartitionSpec())
+
+
 # Latent units per task: coord_units = n_objects * 2 (dims) * 2 (pos+vel)
 # (reference physics_models.py:31-37).
 COORD_UNITS = {
@@ -283,9 +302,9 @@ class PhysicsNet(nn.Module):
                                      template_raw, -1e4)
 
         assets = DecoderAssets(
-            template=template_raw,
-            contents=contents_raw,
-            background=jax.nn.sigmoid(background_raw),
+            template=_replicate_if_mesh(template_raw),
+            contents=_replicate_if_mesh(contents_raw),
+            background=_replicate_if_mesh(jax.nn.sigmoid(background_raw)),
         )
 
         # --- encode input+pred frames (batch and time flattened) ----------

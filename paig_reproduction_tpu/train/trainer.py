@@ -72,6 +72,12 @@ class Trainer:
                  native_loader: bool = False):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
+        # Ambient mesh context: lets the model's internal
+        # with_sharding_constraint calls (physics_net._replicate_if_mesh)
+        # see the mesh, so TP runs don't hit GSPMD's replicate-then-
+        # partition fallback in the rollout scan. Semantically inert for
+        # single-device meshes (axis types are Auto).
+        jax.set_mesh(self.mesh)
         self.seed = seed
         self.profile_dir = profile_dir
         # Device-resident uint8 input path with lax.scan-fused optimizer
