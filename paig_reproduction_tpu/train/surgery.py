@@ -142,12 +142,15 @@ def disk_template_logits(tmpl_size: int, radius: float) -> np.ndarray:
 
 def slot_health(params: Dict, n_objs: int, tmpl_size: int
                 ) -> np.ndarray:
-    """Per-slot template mask mass (px): sum of sigmoid(raw_logits) per
-    slot, the decoder's own weighting of template support. Dead slots
-    score near zero."""
+    """Per-slot count of decoder-VISIBLE template pixels: the composited
+    mask softmaxes each warped template logit against the background's
+    constant +1 (decoder.py), so a pixel contributes only where its raw
+    logit exceeds ~1. A dead slot has zero such pixels (its whole
+    template sits below the background logit — measured on the mnist
+    dead slot: max logit 0.58 over all 1024 px)."""
     t = var_net_forward(params, "var_net_template").reshape(
         n_objs, tmpl_size, tmpl_size)
-    return (1.0 / (1.0 + np.exp(-t))).sum(axis=(1, 2))
+    return (t > 1.0).sum(axis=(1, 2)).astype(np.float64)
 
 
 def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,

@@ -116,6 +116,126 @@ def _oracle_step(kind, spec, poss, vels):
     return poss, vels
 
 
+def track_digits(lit: np.ndarray, bg: np.ndarray) -> tuple:
+    """[N, T, H, W, 3] float frames + [H, W, 3] background ->
+    ([N, T, 2, 2] (x, y) digit ink centroids, [N, T, 2] ink masses).
+
+    The reference composites digit j with color 1.0 into channel j and
+    0.0 into the others over the fixed background
+    (reference generators.py:441-448), so against the known background
+    the POSITIVE residual of channel j is exactly digit j's ink (the
+    other digit only ever darkens channel j)."""
+    n, t, h, w, _ = lit.shape
+    ys = np.arange(h, dtype=np.float32) + 0.5
+    xs = np.arange(w, dtype=np.float32) + 0.5
+    pos = np.zeros((n, t, 2, 2), np.float32)
+    mass = np.zeros((n, t, 2), np.float32)
+    for j in range(2):
+        wmap = np.clip(lit[..., j] - bg[None, None, :, :, j], 0.0, None)
+        m = wmap.sum(axis=(2, 3))
+        mass[..., j] = m
+        m = m + 1e-8
+        pos[..., j, 0] = (wmap.sum(axis=2) * xs).sum(-1) / m
+        pos[..., j, 1] = (wmap.sum(axis=3) * ys).sum(-1) / m
+    return pos, mass
+
+
+def _fit_spring_params(pos: np.ndarray, dt: float) -> tuple:
+    """Least-squares (k, rest_length) from tracked relative positions.
+
+    The relative coordinate obeys d'' = -2k (|d| - L) d/|d| (two equal
+    masses on one spring; reference generators.py:458-471). Projecting the
+    central-difference acceleration onto -d/|d| gives a scalar linear in
+    (|d| - L): slope 2k, intercept -2kL. Constant per-digit centroid
+    offsets (ink centroid vs render center) cancel in the acceleration and
+    only mildly perturb |d|."""
+    d = pos[:, :, 0, :] - pos[:, :, 1, :]              # [N, T, 2]
+    acc = (d[:, 2:] - 2 * d[:, 1:-1] + d[:, :-2]) / dt ** 2
+    mid = d[:, 1:-1]
+    norm = np.linalg.norm(mid, axis=-1) + 1e-9
+    # scalar radial acceleration: a . (-d/|d|) = 2k(|d| - L)
+    radial = -(acc * mid).sum(-1) / norm
+    x = norm.ravel()
+    y = radial.ravel()
+    a = np.stack([x, np.ones_like(x)], axis=1)
+    sol, *_ = np.linalg.lstsq(a, y, rcond=None)
+    slope, intercept = sol
+    k = slope / 2.0
+    rest = -intercept / max(slope, 1e-9)
+    return float(k), float(rest)
+
+
+def _check_mnist(report, checks, spec, lit) -> dict:
+    """mnist_spring_color parity: single fixed background, two channel-
+    coded digits of MNIST geometry, spring dynamics at the spec's k/equil
+    (reference generators.py:367-514: one background for the WHOLE
+    dataset, digits = x_train[0:2] cropped to 22x22, radius fixed at 11,
+    defaults k=2 equil=12 via torch_run_physics.py task table)."""
+    n, t = lit.shape[:2]
+    flat = lit.reshape(-1, *lit.shape[2:])
+
+    # --- single fixed background: the reference draws ONE cifar image for
+    # the whole dataset. Pixelwise medians of disjoint sequence halves
+    # must agree pixel-for-pixel (moving digits vanish from a median).
+    bg_a = np.median(flat[: flat.shape[0] // 2], axis=0)
+    bg_b = np.median(flat[flat.shape[0] // 2:], axis=0)
+    bg_gap = float(np.abs(bg_a - bg_b).max())
+    report["background_split_gap"] = round(bg_gap, 4)
+    checks["single_fixed_background"] = bg_gap < 3.5 / 255.0
+    bg = np.median(flat, axis=0)
+
+    fg = (np.abs(flat - bg[None]).max(-1) > 0.25).mean()
+    report["fg_fraction"] = round(float(fg), 4)
+    checks["fg_fraction"] = bool(0.01 < fg < 0.30)
+
+    pos, mass = track_digits(lit, bg)
+
+    # --- digit geometry: each digit is a 22x22 MNIST crop (radius 11,
+    # reference generators.py:399-401) -> ink mass well under 22^2 but
+    # far above a ball's ~13 px, present in every frame.
+    report["digit_ink_mass"] = [round(float(mass[..., j].mean()), 1)
+                                for j in range(2)]
+    checks["digit_ink_mass"] = bool(
+        all(30.0 < mass[..., j].mean() < 484.0 for j in range(2))
+        and mass.min() > 5.0)
+    # channel 2 must carry no third object: its positive residual is
+    # rendering noise only.
+    ghost = np.clip(flat[..., 2] - bg[None, :, :, 2], 0, None).sum(
+        axis=(1, 2)).mean()
+    report["channel2_residual_mass"] = round(float(ghost), 2)
+    checks["exactly_two_digits"] = bool(
+        ghost < 0.15 * min(mass[..., j].mean() for j in range(2)))
+
+    # --- initial speed / heading (constant centroid offsets cancel in
+    # frame differences): v0 sampled on a circle of radius vx0_max = 8.
+    v0 = (pos[:, 1] - pos[:, 0]) / spec["dt"]
+    sp = np.linalg.norm(v0, axis=-1)
+    report["initial_speed"] = {"median": round(float(np.median(sp)), 2),
+                               "expected": spec["speed"]}
+    checks["initial_speed"] = bool(
+        abs(np.median(sp) - spec["speed"]) < 0.25 * spec["speed"] + 0.5)
+    ang = np.arctan2(v0[..., 1], v0[..., 0]).ravel()
+    u = np.sort((ang + np.pi) / (2 * np.pi))
+    ks = float(np.max(np.abs(u - np.arange(1, u.size + 1) / u.size)))
+    report["heading_ks_vs_uniform"] = round(ks, 3)
+    checks["heading_uniform"] = ks < 0.12
+
+    # --- spring dynamics: identify (k, rest length) from pixels and
+    # compare against the spec (k=2, rest = 2*equil = 24).
+    k_fit, rest_fit = _fit_spring_params(pos, spec["dt"])
+    report["spring_fit"] = {"k": round(k_fit, 3),
+                            "rest_length": round(rest_fit, 2),
+                            "expected_k": spec["k"],
+                            "expected_rest": 2 * spec["equil"]}
+    checks["spring_k"] = bool(abs(k_fit - spec["k"]) < 0.5 * spec["k"])
+    checks["spring_rest_length"] = bool(
+        abs(rest_fit - 2 * spec["equil"]) < 0.25 * 2 * spec["equil"])
+
+    report["checks"] = {k: bool(v) for k, v in checks.items()}
+    report["pass"] = all(checks.values())
+    return report
+
+
 def check(task: str, npz_path: str, split: str = "train_x",
           max_seqs: int = 200) -> dict:
     spec = SPECS[task]
@@ -131,14 +251,7 @@ def check(task: str, npz_path: str, split: str = "train_x",
     checks["pixel_range"] = bool(data.max() > 200)
 
     if spec["kind"] == "spring_mnist":
-        # Digits aren't channel-separable; check pixel-mass statistics:
-        # two ~18px digit blobs + background on a 64px canvas.
-        fg = (lit.max(-1) > 0.55).mean()
-        report["fg_fraction"] = round(float(fg), 4)
-        checks["fg_fraction"] = bool(0.01 < fg < 0.25)
-        report["checks"] = {k: bool(v) for k, v in checks.items()}
-        report["pass"] = all(checks.values())
-        return report
+        return _check_mnist(report, checks, spec, lit)
 
     pos = track_positions(data, spec["n_objs"])    # [N, T, n_objs, 2]
 

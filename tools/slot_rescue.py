@@ -47,8 +47,8 @@ def main(argv=None):
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--task", required=True, choices=sorted(TASK_TABLE))
     ap.add_argument("--rescue_slot", default="",
-                    help="'auto' (weakest template), an int slot index, "
-                         "or '' to skip slot surgery")
+                    help="'auto' (weakest template), 'all', a comma list "
+                         "of slot indices, or '' to skip slot surgery")
     ap.add_argument("--disk_radius", type=float, default=9.0,
                     help="template-disk prior radius (template px)")
     ap.add_argument("--content_rgb", default="0.5,0.5,0.5",
@@ -78,14 +78,19 @@ def main(argv=None):
     print(f"slot template mask mass (px): {health}")
 
     if args.rescue_slot != "":
-        slot = (int(np.argmin(health)) if args.rescue_slot == "auto"
-                else int(args.rescue_slot))
+        if args.rescue_slot == "auto":
+            slots = [int(np.argmin(health))]
+        elif args.rescue_slot == "all":
+            slots = list(range(n_objs))
+        else:
+            slots = [int(v) for v in args.rescue_slot.split(",")]
         rgb = [float(v) for v in args.content_rgb.split(",")]
-        print(f"rescuing slot {slot}: disk r={args.disk_radius}, "
-              f"content {rgb}")
-        params = surgery.rescue_slot(params, slot, n_objs, tmpl, ch,
-                                     radius=args.disk_radius,
-                                     content_rgb=rgb)
+        for slot in slots:
+            print(f"rescuing slot {slot}: disk r={args.disk_radius}, "
+                  f"content {rgb}")
+            params = surgery.rescue_slot(params, slot, n_objs, tmpl, ch,
+                                         radius=args.disk_radius,
+                                         content_rgb=rgb)
 
     if args.set_background:
         if args.set_background == "median":
