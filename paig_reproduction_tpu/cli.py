@@ -125,6 +125,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "before the extension losses activate "
                              "(object discovery first, physics alignment "
                              "second)")
+    parser.add_argument("--fit_physics_every", type=int, default=0,
+                        help="[extension] Every N epochs, re-identify the "
+                             "physical parameters (k/equil or g) by "
+                             "trajectory least squares on the model's own "
+                             "encoder positions and install them (the "
+                             "train-time version of tools/fit_physics.py;"
+                             " 0 = off)")
+    parser.add_argument("--fit_physics_after", type=int, default=0,
+                        help="[extension] First epoch --fit_physics_every "
+                             "may fire (the fit needs a discovered "
+                             "encoder)")
     def _positive_int(v):
         iv = int(v)
         if iv < 1:
@@ -177,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[extension] ST-decoder compute backend "
                              "(auto = measured winner per "
                              "benchmarks/DECODER_BENCH.md)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="[extension] encoder conv-stack computation "
+                             "dtype; bfloat16 doubles the MXU rate with "
+                             "f32 master weights (positions, physics, "
+                             "decoder and losses stay f32)")
     return parser
 
 
@@ -278,7 +295,8 @@ def main(argv=None):
             active_slots=args.active_slots,
             slot_gate_soft=args.slot_gate_soft,
             template_init=args.template_init,
-            decoder_backend=args.decoder_backend)
+            decoder_backend=args.decoder_backend,
+            compute_dtype=args.compute_dtype)
 
     if not args.test_mode:
         model = build(seq_len)
@@ -299,6 +317,8 @@ def main(argv=None):
                                 grad_clip=args.grad_clip,
                                 aux_warmup_epochs=args.aux_warmup_epochs,
                                 bg_lr_mult=args.bg_lr_mult)
+        trainer.fit_physics_every = args.fit_physics_every
+        trainer.fit_physics_after = args.fit_physics_after
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
         trainer.train_model(args.epochs, args.batch_size,

@@ -49,9 +49,15 @@ _conv_kernel_init = _uniform_fan_in(lambda s: 1.0 / np.sqrt(s[0] * s[1] * s[2]))
 
 
 class TorchDense(nn.Module):
-    """nn.Dense with torch nn.Linear's default init (kernel and bias)."""
+    """nn.Dense with torch nn.Linear's default init (kernel and bias).
+
+    ``dtype`` ([extension], None = operate in x.dtype) is the computation
+    dtype: params are stored f32 (master weights) and cast per-call, so
+    ``bfloat16`` runs the matmul at the MXU's doubled bf16 rate while the
+    optimizer state stays full-precision."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,14 +67,22 @@ class TorchDense(nn.Module):
                             (fan_in, self.features))
         bias = self.param(
             "bias", _uniform_fan_in(lambda s: bound), (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return x @ kernel + bias
 
 
 class TorchConv(nn.Module):
-    """3x3 (default) SAME conv, NHWC, torch nn.Conv2d default init."""
+    """3x3 (default) SAME conv, NHWC, torch nn.Conv2d default init.
+
+    ``dtype`` as in :class:`TorchDense`: computation dtype, f32 master
+    params (flax's nn.Conv casts both operands when dtype is set)."""
 
     features: int
     kernel_size: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -78,6 +92,7 @@ class TorchConv(nn.Module):
             self.features,
             (self.kernel_size, self.kernel_size),
             padding="SAME",
+            dtype=self.dtype,
             kernel_init=_conv_kernel_init,
             bias_init=_uniform_fan_in(lambda s: bound),
         )(x)
@@ -98,36 +113,38 @@ class ShallowUNet(nn.Module):
 
     hidden: int = 8
     out_features: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):  # [N, H, W, C]
         h = self.hidden
+        TC = lambda f, **kw: TorchConv(f, dtype=self.dtype, **kw)  # noqa: E731
         height, width = x.shape[1], x.shape[2]
-        x = nn.relu(TorchConv(h)(x))
-        x1 = nn.relu(TorchConv(h)(x))
+        x = nn.relu(TC(h)(x))
+        x1 = nn.relu(TC(h)(x))
         x = _max_pool2(x1)
-        x = nn.relu(TorchConv(2 * h)(x))
-        x2 = nn.relu(TorchConv(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
+        x2 = nn.relu(TC(2 * h)(x))
         x = _max_pool2(x2)
-        x = nn.relu(TorchConv(4 * h)(x))
-        x = nn.relu(TorchConv(4 * h)(x))
+        x = nn.relu(TC(4 * h)(x))
+        x = nn.relu(TC(4 * h)(x))
 
         x = resize_bilinear(
             x.transpose(0, 3, 1, 2), (height // 2, width // 2)
         ).transpose(0, 2, 3, 1)
-        x = TorchConv(2 * h)(x)
+        x = TC(2 * h)(x)
         x = jnp.concatenate([x, x2], axis=-1)
-        x = nn.relu(TorchConv(2 * h)(x))
-        x = nn.relu(TorchConv(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
 
         x = resize_bilinear(
             x.transpose(0, 3, 1, 2), (height, width)
         ).transpose(0, 2, 3, 1)
-        x = TorchConv(2 * h)(x)
+        x = TC(2 * h)(x)
         x = jnp.concatenate([x, x1], axis=-1)
-        x = nn.relu(TorchConv(h)(x))
-        x = nn.relu(TorchConv(h)(x))
-        x = nn.relu(TorchConv(self.out_features, kernel_size=1)(x))
+        x = nn.relu(TC(h)(x))
+        x = nn.relu(TC(h)(x))
+        x = nn.relu(TC(self.out_features, kernel_size=1)(x))
         return x
 
 
@@ -141,53 +158,55 @@ class UNet(nn.Module):
 
     hidden: int = 16
     out_features: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):  # [N, H, W, C]
         h = self.hidden
+        TC = lambda f, **kw: TorchConv(f, dtype=self.dtype, **kw)  # noqa: E731
         height, width = x.shape[1], x.shape[2]
 
-        x = nn.relu(TorchConv(h)(x))
-        x1 = nn.relu(TorchConv(h)(x))
+        x = nn.relu(TC(h)(x))
+        x1 = nn.relu(TC(h)(x))
         x = _max_pool2(x1)
 
-        x = nn.relu(TorchConv(2 * h)(x))
-        x2 = nn.relu(TorchConv(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
+        x2 = nn.relu(TC(2 * h)(x))
         x = _max_pool2(x2)
 
-        x = nn.relu(TorchConv(4 * h)(x))
-        x3 = nn.relu(TorchConv(4 * h)(x))
+        x = nn.relu(TC(4 * h)(x))
+        x3 = nn.relu(TC(4 * h)(x))
         x = _max_pool2(x3)
 
-        x = nn.relu(TorchConv(8 * h)(x))
+        x = nn.relu(TC(8 * h)(x))
 
-        x = nn.relu(TorchConv(8 * h)(x))
+        x = nn.relu(TC(8 * h)(x))
         x = resize_bilinear(
             x.transpose(0, 3, 1, 2), (height // 4, width // 4)
         ).transpose(0, 2, 3, 1)
-        x = TorchConv(2 * h)(x)
+        x = TC(2 * h)(x)
 
         x = jnp.concatenate([x, x3], axis=-1)          # 2h + 4h = 6h
-        x = nn.relu(TorchConv(4 * h)(x))
-        x = nn.relu(TorchConv(4 * h)(x))
+        x = nn.relu(TC(4 * h)(x))
+        x = nn.relu(TC(4 * h)(x))
 
         x = resize_bilinear(
             x.transpose(0, 3, 1, 2), (height // 2, width // 2)
         ).transpose(0, 2, 3, 1)
-        x = TorchConv(2 * h)(x)
+        x = TC(2 * h)(x)
         x = jnp.concatenate([x, x2], axis=-1)          # 2h + 2h = 4h
-        x = nn.relu(TorchConv(2 * h)(x))
-        x = nn.relu(TorchConv(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
+        x = nn.relu(TC(2 * h)(x))
 
         x = resize_bilinear(
             x.transpose(0, 3, 1, 2), (height, width)
         ).transpose(0, 2, 3, 1)
-        x = TorchConv(2 * h)(x)
+        x = TC(2 * h)(x)
 
         x = jnp.concatenate([x, x1], axis=-1)          # 2h + h = 3h
-        x = nn.relu(TorchConv(h)(x))
-        x = nn.relu(TorchConv(h)(x))
-        x = TorchConv(self.out_features, kernel_size=1)(x)
+        x = nn.relu(TC(h)(x))
+        x = nn.relu(TC(h)(x))
+        x = TC(self.out_features, kernel_size=1)(x)
         return x
 
 
@@ -223,6 +242,13 @@ class ConvolutionalEncoder(nn.Module):
     # second digit); a soft handicap keeps those channels learning while
     # the decoder still hides the slot.
     slot_gate_soft: float = 0.0
+    # [extension] computation dtype for the conv stack + hidden MLP
+    # (None = f32). With bfloat16 the UNet convs and the wide masked-
+    # frame matmuls run at the MXU's doubled bf16 rate; the softmax
+    # attention, the final 2-unit coordinate projection and the tanh
+    # run f32 so position precision (bf16 eps at x=32 is 0.25 px) and
+    # the returned masks are unaffected.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, inp):  # [N, H, W, C]
@@ -230,9 +256,10 @@ class ConvolutionalEncoder(nn.Module):
         height, width = self.input_hw
         small = width < 40
         if small:
-            logits = ShallowUNet(8, self.n_objs)(inp)
+            logits = ShallowUNet(8, self.n_objs, dtype=self.dtype)(inp)
         else:
-            logits = UNet(16, self.n_objs)(inp)
+            logits = UNet(16, self.n_objs, dtype=self.dtype)(inp)
+        logits = logits.astype(inp.dtype)
 
         if 0 < self.active_slots < self.n_objs:
             gate = jnp.arange(self.n_objs) < self.active_slots
@@ -256,8 +283,9 @@ class ConvolutionalEncoder(nn.Module):
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
 
-        x = nn.relu(TorchDense(self.hidden_dim)(x))
-        x = nn.relu(TorchDense(self.hidden_dim)(x))
+        x = nn.relu(TorchDense(self.hidden_dim, dtype=self.dtype)(x))
+        x = nn.relu(TorchDense(self.hidden_dim, dtype=self.dtype)(x))
+        x = x.astype(inp.dtype)
         x = TorchDense(self.out_features)(x)           # [n_objs*N, 2]
 
         # unfold objects: [n_objs, N, 2] -> [N, n_objs*2]

@@ -103,6 +103,12 @@ class PhysicsNet(nn.Module):
     # path stays available and parity-tested for larger-image model
     # families where the fused composite outgrows what XLA fuses well.
     decoder_backend: str = "auto"
+    # [extension] computation dtype for the encoder conv stack:
+    # "float32" (default, reference-faithful) or "bfloat16" (runs the
+    # UNet convs + wide encoder matmuls at the MXU's doubled bf16 rate
+    # with f32 master weights; positions, physics, decoder and losses
+    # stay f32 — see blocks.ConvolutionalEncoder.dtype).
+    compute_dtype: str = "float32"
     # [extension, default off] weight of a template-centering penalty.
     # Unsupervised object discovery can settle on templates whose content
     # sits off-center; the encoder then reports ball_center + offset, and
@@ -238,6 +244,8 @@ class PhysicsNet(nn.Module):
         assert self.lstm_layers >= 1, self.lstm_layers
         assert self.decoder_backend in ("auto", "xla", "pallas"), (
             self.decoder_backend)
+        assert self.compute_dtype in ("float32", "bfloat16"), (
+            self.compute_dtype)
 
     @property
     def _backend(self) -> str:
@@ -313,6 +321,8 @@ class PhysicsNet(nn.Module):
             input_hw=(img, img), n_objs=self.n_objs, hidden_dim=200,
             out_features=2, active_slots=self.active_slots,
             slot_gate_soft=self.slot_gate_soft,
+            dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                   else None),
             name="encoder")(frames)
 
         # --- autoencoder path ---------------------------------------------

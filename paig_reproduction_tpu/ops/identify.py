@@ -1,0 +1,177 @@
+"""Closed-form physical-parameter identification from encoder positions.
+
+PAIG's hard part is that the pixel loss gives the physical parameters a
+vanishing gradient once predicted and target objects stop overlapping, so
+gradient descent parks (k, equil, g) in a ballistic local optimum
+(measured: every plain 500-epoch spring run lands at pred ~20 with k
+stuck near its init; benchmarks/CONVERGENCE.md). Given a trained encoder
+the parameters ARE identifiable from its own position sequences — no
+labels needed:
+
+* spring (reference cells.py:22-51): a_par = -k*norm + 2*k*equil,
+  linear in (k, k*equil);
+* gravity (reference cells.py:86-106): a = -A * sum_j d/|d|^3 with
+  A = g*m^2, 1-D.
+
+The pointwise fits double-differentiate (biased under encoder noise);
+the trajectory fits integrate instead (coarse-to-fine grid), which is
+what both the offline CLI (tools/fit_physics.py) and the train-time
+self-identification hook (Trainer.fit_physics_every) use.
+
+Pure numpy on host arrays: runs between dispatches, never inside jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def fit_spring(enc, dt):
+    """enc: [N, T, 4] object-major (x1,y1,x2,y2). Returns (k, equil,
+    residual)."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 2, 2)
+    # central-difference acceleration per frame
+    acc = (p[:, 2:] - 2 * p[:, 1:-1] + p[:, :-2]) / dt ** 2  # [N,T-2,2,2]
+    mid = p[:, 1:-1]
+    diff = mid[:, :, 0] - mid[:, :, 1]                       # [N,T-2,2]
+    norm = np.linalg.norm(diff, axis=-1)
+    u = diff / (norm[..., None] + 1e-9)
+    # object 0: a0 = -(k*norm - 2*k*e)*u  ->  a0.u = -k*norm + 2ke
+    a_par0 = np.sum(acc[:, :, 0] * u, axis=-1).ravel()
+    a_par1 = np.sum(acc[:, :, 1] * (-u), axis=-1).ravel()
+    a_par = np.concatenate([a_par0, a_par1])
+    n = np.concatenate([norm.ravel(), norm.ravel()])
+    A = np.stack([-n, np.ones_like(n)], 1)
+    # robust: trim outliers once
+    coef, *_ = np.linalg.lstsq(A, a_par, rcond=None)
+    resid = A @ coef - a_par
+    keep = np.abs(resid) < 3 * resid.std()
+    coef, *_ = np.linalg.lstsq(A[keep], a_par[keep], rcond=None)
+    k = coef[0]
+    equil = coef[1] / (2 * k) if k > 1e-6 else float("nan")
+    rms = float(np.sqrt(np.mean((A[keep] @ coef - a_par[keep]) ** 2)))
+    return float(k), float(equil), rms
+
+
+def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
+    """Trajectory-space fit: coarse-to-fine grid over (k, equil), scoring
+    rollouts from finite-difference initial velocities against the
+    encoder positions. Integration (vs the pointwise fit's double
+    differentiation) suppresses the errors-in-variables attenuation that
+    biases k toward zero under encoder noise."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 2, 2)
+    i0 = input_steps - 1
+    horizon = min(horizon, enc.shape[1] - input_steps)
+
+    def batched_spring_step(poss, vels, k, e, substeps=substeps):
+        """One frame of spring dynamics for [N, 2, 2] states (vectorized
+        version of ops/cells.spring_step / the generator integrator)."""
+        h = dt / substeps
+        for _ in range(substeps):
+            diff = poss[:, 0] - poss[:, 1]
+            norm = np.linalg.norm(diff, axis=-1, keepdims=True)
+            force = k * (norm - 2 * e) * diff / (norm + 1e-9)
+            vels = vels + h * np.stack([-force, force], axis=1)
+            poss = poss + h * vels
+        return poss, vels
+
+    def score(k, e):
+        err = 0.0
+        poss = p[:, i0].copy()
+        vels = (p[:, i0] - p[:, i0 - 1]) / dt
+        for t in range(horizon):
+            poss, vels = batched_spring_step(poss, vels, k, e)
+            err += np.median(
+                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+        return err
+
+    ks = np.exp(np.linspace(np.log(0.25), np.log(16), 9))
+    es = np.exp(np.linspace(np.log(1.0), np.log(12.0), 9))
+    best = None
+    for _ in range(3):   # coarse-to-fine
+        scores = np.array([[score(k, e) for e in es] for k in ks])
+        ik, ie = np.unravel_index(scores.argmin(), scores.shape)
+        best = (ks[ik], es[ie], scores[ik, ie])
+        ks = np.exp(np.linspace(np.log(ks[max(0, ik - 1)]),
+                                np.log(ks[min(len(ks) - 1, ik + 1)]), 7))
+        es = np.exp(np.linspace(np.log(es[max(0, ie - 1)]),
+                                np.log(es[min(len(es) - 1, ie + 1)]), 7))
+    return best
+
+
+def fit_gravity(enc, dt):
+    """enc: [N, T, 6]. Returns (A = g*m^2, residual). Matches the
+    generator law a_i = -g m^2 sum_j (p_i - p_j)/|p_i - p_j|^3."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 3, 2)
+    acc = (p[:, 2:] - 2 * p[:, 1:-1] + p[:, :-2]) / dt ** 2
+    mid = p[:, 1:-1]
+    xs, ys = [], []
+    for i in range(3):
+        f = np.zeros_like(mid[:, :, i])
+        for j in range(3):
+            if i == j:
+                continue
+            d = mid[:, :, i] - mid[:, :, j]
+            n = np.linalg.norm(d, axis=-1, keepdims=True)
+            f = f + d / (n ** 3 + 1e-9)
+        # acc_i = -A * f  -> regress componentwise
+        xs.append(-f.reshape(-1, 2).ravel())
+        ys.append(acc[:, :, i].reshape(-1, 2).ravel())
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    A = float(np.dot(x, y) / (np.dot(x, x) + 1e-12))
+    rms = float(np.sqrt(np.mean((A * x - y) ** 2)))
+    return A, rms
+
+
+def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
+                           substeps=5):
+    """Trajectory-space 1-D fit of A = g*m^2: coarse-to-fine log-grid,
+    scoring rollouts from finite-difference initial velocities against
+    the encoder positions — the same errors-in-variables cure as
+    fit_spring_trajectory (double differentiation attenuates the
+    pointwise fit under encoder noise; integration does not)."""
+    p = enc.reshape(enc.shape[0], enc.shape[1], 3, 2)
+    i0 = input_steps - 1
+    horizon = min(horizon, enc.shape[1] - input_steps)
+
+    def step(poss, vels, A):
+        """One frame of 3-body dynamics for [N, 3, 2] states (matches
+        ops/cells.gravity_step / generator physics, norm floored like
+        the cell's clamp, reference cells.py:99-100)."""
+        h = dt / substeps
+        for _ in range(substeps):
+            acc = np.zeros_like(poss)
+            for i in range(3):
+                for j in range(3):
+                    if i == j:
+                        continue
+                    d = poss[:, j] - poss[:, i]
+                    n = np.linalg.norm(d, axis=-1, keepdims=True)
+                    n = np.clip(n, 1.0, 170.0)
+                    acc[:, i] += A * d / n ** 3
+            vels = vels + h * acc
+            poss = poss + h * vels
+        return poss, vels
+
+    def score(A):
+        err = 0.0
+        poss = p[:, i0].copy()
+        # second-order one-sided velocity: the first-order difference
+        # equals v - a*dt/2, a bias correlated with A that skews the fit
+        vels = (3 * p[:, i0] - 4 * p[:, i0 - 1] + p[:, i0 - 2]) / (2 * dt)
+        for t in range(horizon):
+            poss, vels = step(poss, vels, A)
+            err += np.median(
+                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+        return err
+
+    grid = np.exp(np.linspace(np.log(2.0), np.log(400.0), 13))
+    best = None
+    for _ in range(3):   # coarse-to-fine
+        scores = np.array([score(a) for a in grid])
+        ia = int(scores.argmin())
+        best = (float(grid[ia]), float(scores[ia]))
+        grid = np.exp(np.linspace(
+            np.log(grid[max(0, ia - 1)]),
+            np.log(grid[min(len(grid) - 1, ia + 1)]), 9))
+    return best

@@ -87,6 +87,11 @@ class Trainer:
         self.native_loader = native_loader
         # Steps before the extension losses activate (--aux_warmup_epochs)
         self.aux_warmup_steps = 0
+        # Train-time physics self-identification cadence in epochs
+        # (--fit_physics_every; 0 = off) and the first epoch it may run
+        # (--fit_physics_after — the fit needs a discovered encoder).
+        self.fit_physics_every = 0
+        self.fit_physics_after = 0
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -453,6 +458,11 @@ class Trainer:
 
             drain_pending()   # epoch boundary: train lines precede eval's
 
+            if (self.fit_physics_every > 0
+                    and ep >= self.fit_physics_after
+                    and ep % self.fit_physics_every == 0):
+                self._identify_physics(batch_size)
+
             if ep % eval_every_n_epochs == 0:
                 print("eval running")
                 valid_metrics_results = self.eval_performance(
@@ -481,6 +491,50 @@ class Trainer:
                     test_metrics_results)
         self.flush_artifacts()
         return test_metrics_results
+
+    def _identify_physics(self, batch_size):
+        """Train-time closed-form physics re-identification
+        (--fit_physics_every): fit (k, equil) / g by trajectory least
+        squares on the model's OWN encoder positions (ops/identify.py —
+        fully unsupervised, same math as tools/fit_physics.py) and
+        install the result into the live params. This is what turns the
+        measured discovery->identify->align pipeline into a single
+        command: the pixel loss cannot pull the physical parameters out
+        of the ballistic basin (vanishing gradient once objects stop
+        overlapping), but the encoder it trains identifies them exactly.
+        """
+        cell = self.model.cell_type
+        if cell not in ("spring_ode_cell", "gravity_ode_cell"):
+            return
+        from paig_reproduction_tpu.ops import cells as _cells
+        from paig_reproduction_tpu.ops import identify
+        _, dt = _cells.CELLS[cell]
+        encs = []
+        for _ in range(4):
+            bx, _ = self.train_iterator.sample_random_batch(
+                min(batch_size, self.train_iterator.num_examples - 1))
+            _, aux = self._forward(self.params, self._put_batch(bx))
+            encs.append(np.asarray(aux["enc_pos"]))
+        enc = np.concatenate(encs)              # [N, t_in, n_objs*2]
+        p = dict(self.params)
+        if cell == "spring_ode_cell":
+            k, equil, err = identify.fit_spring_trajectory(
+                enc, dt, input_steps=self.model.input_steps,
+                substeps=self.model.cell_substeps)
+            p["log_k"] = jnp.asarray(np.log(max(k, 1e-3)), jnp.float32)
+            p["log_equil"] = jnp.asarray(np.log(max(equil, 1e-3)),
+                                         jnp.float32)
+            logger.info("fit_physics: k=%.4f equil=%.4f "
+                        "(median traj err %.3f)", k, equil, err)
+        else:
+            A, err = identify.fit_gravity_trajectory(
+                enc, dt, input_steps=self.model.input_steps,
+                substeps=self.model.cell_substeps)
+            # A = exp(log_g)*exp(2*log_m), log_m frozen at 0
+            p["log_g"] = jnp.asarray(np.log(max(A, 1e-3)), jnp.float32)
+            logger.info("fit_physics: A=g*m^2=%.4f "
+                        "(median traj err %.3f)", A, err)
+        self.params = p
 
     def flush_artifacts(self):
         """Block until the async outputs.npz writer (if any) finishes."""

@@ -276,3 +276,62 @@ def test_slot_gate_soft_keeps_gradients_alive():
     _, aux = m.apply(p, inp, with_extras=True)
     em = aux["extras"]["enc_masks"]
     assert 1e-6 < float(em[..., 1].mean()) < 0.3
+
+
+def test_fit_physics_hook_identifies_spring():
+    """--fit_physics_every: given encoder positions that follow the true
+    spring dynamics, the train-time hook must install (log_k, log_equil)
+    near the truth — single-command version of tools/fit_physics.py."""
+    import jax.numpy as jnp
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.ops import cells
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    k_true, e_true = 4.0, 6.0
+    _, dt = cells.CELLS["spring_ode_cell"]
+    rs = np.random.RandomState(0)
+
+    # oracle spring trajectories, generator integration (10 substeps)
+    n, t = 32, 10
+    poss = rs.uniform(10, 22, (n, 2, 2))
+    vels = rs.uniform(-4, 4, (n, 2, 2))
+    seq = np.zeros((n, t, 2, 2), np.float32)
+    h = dt / 10
+    for step in range(t):
+        seq[:, step] = poss
+        for _ in range(10):
+            d = poss[:, 0] - poss[:, 1]
+            nor = np.linalg.norm(d, axis=-1, keepdims=True)
+            f = -k_true * (nor - 2 * e_true) * d / (nor + 1e-9)
+            vels = vels + h * np.stack([f[:, ...], -f[:, ...]], axis=1)
+            poss = poss + h * vels
+    enc = seq.reshape(n, t, 4)
+
+    model = PhysicsNet(task="spring_color", cell_type="spring_ode_cell",
+                       seq_len=12, input_steps=4, pred_steps=6,
+                       autoencoder_loss=3.0, color=True,
+                       input_size=32 * 32, cell_substeps=10)
+    tr = Trainer(model)
+    tr.params = {"log_k": jnp.zeros(()), "log_equil": jnp.zeros(())}
+
+    class FakeIt:
+        num_examples = n
+
+        def sample_random_batch(self, bs):
+            return np.zeros((8, 12, 3, 32, 32), np.float32), None
+
+    tr.train_iterator = FakeIt()
+    tr._put_batch = lambda b: b
+    tr._forward = lambda p, b: (None, {"enc_pos": enc[:8]})
+
+    tr._identify_physics(batch_size=8)
+    k_fit = float(np.exp(tr.params["log_k"]))
+    e_fit = float(np.exp(tr.params["log_equil"]))
+    # the hook's job is escaping the ballistic basin (k init = 1); the
+    # aligned losses refine from there, so ~15% identification error is
+    # the spec, not a miss
+    assert abs(k_fit - k_true) < 0.75, k_fit
+    assert abs(e_fit - e_true) < 1.0, e_fit
+    assert abs(float(tr.params["log_g"]) if "log_g" in tr.params
+               else 0.0) == 0.0
