@@ -16,12 +16,16 @@ Extra keys (the whole truth, not just the fused headline):
                     metric fetches (the number a user lives).
   eval_fps          frames/sec through the eval loop (host-fed batches,
                     whole-epoch metric averaging).
-  step_time_us      fused train-step device+dispatch time per step.
-  model_tflops      XLA cost-analysis FLOPs of one train step / time,
-                    i.e. sustained TFLOP/s.
-  mfu_pct           model_tflops vs chip peak (bf16 peak from the device
-                    kind table; this model runs f32, so MFU is reported
-                    against the f32 peak = bf16/2 where known).
+  step_time_us      fused train-step device+dispatch time per step
+                    (host-fetch synced; block_until_ready through the
+                    axon tunnel is unreliable — see MFU_AUDIT.md).
+  model_tflops      MXU FLOPs of one train step (dot/conv contractions
+                    counted from the jaxpr, utils/flops.py) / time.
+  mfu_pct           model_tflops vs the f32 peak table below. Honest
+                    expectation for this model family: single digits —
+                    3x3 convs at 3-32 channels cannot fill a 128x128
+                    MXU (measured 123 TF/s achievable on an 8k matmul
+                    vs ~6.5 TF/s sustained by the model; MFU_AUDIT.md).
 
 vs_baseline compares against the reference PyTorch implementation's
 measured step time stored in benchmarks/torch_baseline.json (measured on
@@ -115,11 +119,17 @@ def main():
         return jax.device_put(
             rs.randint(0, N_DATA, (K, B)).astype(np.int32), idx_sharding)
 
-    # warmup / compile
+    # warmup / compile. Sync by HOST FETCH everywhere below, never
+    # block_until_ready: through the axon tunnel block_until_ready has
+    # been observed returning before execution finishes (measured 0.64 ms
+    # for a chunk whose MXU FLOPs alone need >= 7 ms at peak — the source
+    # of round 2's inflated 84.7 us/step headline). A device->host copy
+    # of the result cannot be faked. Audit: tools/mfu_audit.py,
+    # benchmarks/MFU_AUDIT.md.
     for _ in range(2):
         params, opt_state, losses = train_chunk(params, opt_state,
                                                 data_u8, make_idxs())
-    jax.block_until_ready(losses)
+    np.asarray(losses)
 
     trace_dir = os.environ.get("PAIG_BENCH_TRACE", "")
     if trace_dir:
@@ -130,7 +140,7 @@ def main():
     for _ in range(n_chunks):
         params, opt_state, losses = train_chunk(params, opt_state,
                                                 data_u8, make_idxs())
-    jax.block_until_ready(losses)
+    np.asarray(losses[-1])
     dt = (time.perf_counter() - t0) / (n_chunks * K)
 
     if trace_dir:
@@ -138,15 +148,23 @@ def main():
 
     fps_per_chip = B * T / dt / n_chips
 
-    # --- sustained FLOP/s + MFU from XLA's own cost analysis -------------
+    # --- sustained MXU FLOP/s + MFU ---------------------------------------
+    # FLOPs by walking the train-step jaxpr and summing only dot/conv
+    # contractions (utils/flops.py) — agrees with XLA cost analysis
+    # within 5% and with a hand count of the conv stack (MFU_AUDIT.md).
+    # Round 2 divided a once-counted scan body by K here; fixed.
     mfu_pct = model_tflops = None
     try:
-        cost = train_chunk.lower(
-            params, opt_state, data_u8, make_idxs()).compile(
-        ).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) / K
+        from paig_reproduction_tpu.utils.flops import matmul_flops
+
+        def one_step(p, o, b):
+            loss, grads = jax.value_and_grad(loss_fn)(p, b)
+            updates, o2 = tx.update(grads, o, p)
+            p2 = jax.tree.map(lambda x, u: x + u, p, updates)
+            return p2, o2, loss
+
+        flops_per_step = matmul_flops(
+            jax.make_jaxpr(one_step)(params, opt_state, inp))
         if flops_per_step > 0:
             model_tflops = flops_per_step / dt / 1e12
             kind = jax.devices()[0].device_kind

@@ -337,7 +337,13 @@ def main(argv=None):
     trainer.get_data(data_iterators)
     trainer.init_params(data_iterators[0].X[:1])
     trainer.build_optimizer(args.base_lr, args.optimizer, args.anneal_lr)
-    trainer.initialize_graph(args.save_dir, True, args.ckpt_dir)
+    # After a training phase the test eval must score the JUST-TRAINED
+    # model (save_dir's final checkpoint), not a --ckpt_dir warm start
+    # that training resumed from; --ckpt_dir only routes the restore when
+    # running pure --test_mode.
+    trainer.initialize_graph(
+        args.save_dir, True,
+        args.ckpt_dir if args.test_mode else "")
     trainer.train_model(0, args.batch_size, args.save_every_n_epochs,
                         args.eval_every_n_epochs, args.print_interval,
                         args.debug)

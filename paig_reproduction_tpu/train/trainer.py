@@ -475,6 +475,11 @@ class Trainer:
                 self.save()
 
         if epochs > 0:
+            # Unconditional final save: the post-training test phase (and
+            # any later --test_mode run) evaluates save_dir's checkpoint,
+            # which must be the finished model even when `epochs` is not
+            # a multiple of save_every_n_epochs.
+            self.save()
             jax.block_until_ready(self.params)
             dt = time.perf_counter() - t0
             # End-to-end epoch-loop throughput (host index prep, logging,

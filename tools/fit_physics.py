@@ -75,25 +75,30 @@ def encoder_positions(task, ckpt_dir, data_dir, n_batches=8,
         seqs.append(np.asarray(fwd(params, jnp.asarray(bx))))
     enc = np.concatenate(seqs, 0)          # [N, t_in, n_objs*2]
 
-    # Template-content centroid offsets: the decoder renders each
-    # object's content at pos + 2*(centroid(template content) - center)
-    # image pixels (template->image scale is 2), so encoder positions are
-    # object centers MINUS that offset. Correct before fitting.
+    # Render-measured per-object offsets: decode a few frames with
+    # extras and take the centroid of each object's OWN rendered
+    # appearance (composited softmax mask x content luminance) minus the
+    # encoder position it was rendered at. This measures exactly the
+    # offset a pixel tracker sees; the earlier template-centroid
+    # estimate breaks on complex templates (mnist digits: up to 6 px /
+    # wrong sign, because the content MLP is unconstrained outside the
+    # mask support). Median over frames is robust to boundary clipping.
     _, aux = model.apply({"params": params},
-                         jnp.asarray(its[0].X[:2]), with_extras=True)
-    tmpl = np.asarray(aux["extras"]["templates"])[:, 0]   # [o, T, T] raw
-    cont = np.asarray(aux["extras"]["contents"])          # [o, C, T, T]
-    weight = (1 / (1 + np.exp(-tmpl))) * \
-        (1 / (1 + np.exp(-cont))).mean(axis=1)            # [o, T, T]
-    t = weight.shape[-1]
-    coords = np.arange(t)
-    total = weight.sum(axis=(1, 2)) + 1e-9
-    cy = (weight.sum(axis=2) * coords).sum(axis=1) / total
-    cx = (weight.sum(axis=1) * coords).sum(axis=1) / total
-    center = (t - 1) / 2.0
-    # offset in image px, object-major (x, y) layout
-    offsets = 2.0 * np.stack([cx - center, cy - center], 1).reshape(-1)
-    print("template-content offsets (image px, per object x,y):",
+                         jnp.asarray(its[0].X[:8]), with_extras=True)
+    masks = np.asarray(aux["extras"]["transf_masks"])    # [F, o+1, H, W]
+    conts = np.asarray(aux["extras"]["transf_contents"])  # [F, o, H, W, C]
+    pos_at = np.asarray(aux["enc_pos"]).reshape(-1, model.n_objs, 2)
+    lum = conts.mean(axis=-1)                             # [F, o, H, W]
+    w = masks[:, : model.n_objs] * lum                    # [F, o, H, W]
+    hh, ww = w.shape[-2:]
+    xs = np.arange(ww, dtype=np.float64) + 0.5
+    ys = np.arange(hh, dtype=np.float64) + 0.5
+    tot = w.sum(axis=(2, 3)) + 1e-9                       # [F, o]
+    cx = (w.sum(axis=2) * xs).sum(-1) / tot
+    cy = (w.sum(axis=3) * ys).sum(-1) / tot
+    per_frame = np.stack([cx, cy], axis=-1) - pos_at      # [F, o, 2]
+    offsets = np.median(per_frame, axis=0).reshape(-1)    # obj-major x,y
+    print("rendered-appearance offsets (image px, per object x,y):",
           np.round(offsets, 2))
     enc = enc + offsets[None, None, :]
     return enc, model, raw, offsets

@@ -1,10 +1,11 @@
 """MFU audit: derive the benchmark's MFU claim two independent ways.
 
-bench.py reports ``mfu_pct`` from XLA's cost analysis (pre-optimization
-HLO flop count / wall time). Cost analysis can overcount (it includes
-elementwise work and counts HLO before fusion/simplification), and wall
-time through the TPU tunnel includes dispatch. This tool audits both
-factors independently:
+bench.py reports ``mfu_pct`` from XLA's cost analysis flop count / wall
+time. Both factors need an independent check (round-2's 83%-MFU claim
+fell to exactly this audit: the flop count divided a once-counted scan
+body by K, and block_until_ready through the tunnel returned without
+syncing — the honest number is ~6% f32 MFU, dominated by tiny-channel
+convs). This tool audits both factors independently:
 
 1. **FLOPs** — walks the jaxpr of the exact train-step (fwd + bwd + opt)
    and sums only ``dot_general`` / ``conv_general_dilated`` FLOPs
@@ -37,60 +38,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import _PEAK_F32_TFLOPS  # noqa: E402
 
 
-def _dot_general_flops(eqn) -> float:
-    ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
-    a, b = (v.aval.shape for v in eqn.invars[:2])
-    batch = float(np.prod([a[i] for i in lb], dtype=np.float64)) if lb else 1.0
-    k = float(np.prod([a[i] for i in lc], dtype=np.float64)) if lc else 1.0
-    m = float(np.prod([d for i, d in enumerate(a)
-                       if i not in lc and i not in lb], dtype=np.float64))
-    n = float(np.prod([d for i, d in enumerate(b)
-                       if i not in rc and i not in rb], dtype=np.float64))
-    return 2.0 * batch * m * n * k
-
-
-def _conv_flops(eqn) -> float:
-    out = eqn.outvars[0].aval.shape
-    rhs = eqn.invars[1].aval.shape
-    dn = eqn.params["dimension_numbers"]
-    groups = (eqn.params.get("feature_group_count", 1)
-              * eqn.params.get("batch_group_count", 1))
-    # rhs layout per dn.rhs_spec: (out_ch, in_ch/g, *spatial)
-    rhs_spec = dn.rhs_spec
-    in_ch_per_g = rhs[rhs_spec[1]]
-    spatial = [rhs[i] for i in rhs_spec[2:]]
-    out_elems = float(np.prod(out, dtype=np.float64))
-    return (2.0 * out_elems * in_ch_per_g
-            * float(np.prod(spatial, dtype=np.float64)) / max(groups, 1)
-            * 1.0)
-
-
-def matmul_flops(jaxpr) -> float:
-    """Sum dot/conv FLOPs over a (Closed)Jaxpr, recursing through control
-    flow: scan multiplies its body by length, cond takes the max branch."""
-    inner = getattr(jaxpr, "jaxpr", jaxpr)
-    total = 0.0
-    for eqn in inner.eqns:
-        name = eqn.primitive.name
-        if name == "dot_general":
-            total += _dot_general_flops(eqn)
-        elif name == "conv_general_dilated":
-            total += _conv_flops(eqn)
-        elif name == "scan":
-            total += eqn.params["length"] * matmul_flops(eqn.params["jaxpr"])
-        elif name == "cond":
-            total += max((matmul_flops(b)
-                          for b in eqn.params["branches"]), default=0.0)
-        elif name == "while":
-            # bounded rollouts in this codebase are scans; a while here
-            # would be un-countable — flag loudly rather than undercount.
-            raise RuntimeError("while_loop in audited graph")
-        else:
-            for p in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
-                if p in eqn.params:
-                    total += matmul_flops(eqn.params[p])
-                    break
-    return total
+from paig_reproduction_tpu.utils.flops import (  # noqa: E402,F401
+    matmul_flops,
+)
 
 
 def build_step(B=100, T=12):
@@ -145,12 +95,18 @@ def chunk_times(train_step, args, ks=(10, 100), n_rep=5):
             (p, o), losses = jax.lax.scan(body, (p, o), None, length=k)
             return p, o, losses
         p, o, losses = chunk(params, opt_state, inp)  # compile+warm
-        jax.block_until_ready(losses)
+        np.asarray(losses)
         ts = []
         for _ in range(n_rep):
             t0 = time.perf_counter()
             p, o, losses = chunk(p, o, inp)
-            jax.block_until_ready(losses)
+            # Sync by HOST FETCH, never block_until_ready: through the
+            # axon tunnel block_until_ready has been observed returning
+            # before execution finishes (measured 0.64 ms for a chunk
+            # whose FLOPs alone need >= 7 ms at peak — the source of the
+            # round-2 84.7 us/step artifact). A device->host copy of the
+            # result cannot be faked.
+            np.asarray(losses[-1])
             ts.append(time.perf_counter() - t0)
         out[k] = float(np.median(ts))
     return out
