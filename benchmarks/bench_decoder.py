@@ -77,12 +77,14 @@ def main():
                      ("fused Pallas", pallas_jit)):
         try:
             out = fn(pos)
-            jax.block_until_ready(out)
+            np.asarray(jax.tree.leaves(out)[0])
             iters = 50
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(pos)
-            jax.block_until_ready(out)
+            # host-fetch sync: block_until_ready can return early through
+            # the axon tunnel (benchmarks/MFU_AUDIT.md §2)
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
             dt = (time.perf_counter() - t0) / iters
             results[name] = dt
             print(f"{name:26s}: {dt * 1e6:9.1f} us / {n} decodes")

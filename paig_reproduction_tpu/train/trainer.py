@@ -480,7 +480,10 @@ class Trainer:
             # which must be the finished model even when `epochs` is not
             # a multiple of save_every_n_epochs.
             self.save()
-            jax.block_until_ready(self.params)
+            # save() device_gets every param — a real host-fetch sync
+            # (block_until_ready alone can return early through the axon
+            # tunnel; benchmarks/MFU_AUDIT.md §2), so last_train_fps
+            # charges the full epoch-loop work.
             dt = time.perf_counter() - t0
             # End-to-end epoch-loop throughput (host index prep, logging,
             # dispatch, any interleaved evals) — read by bench.py.

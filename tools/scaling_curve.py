@@ -89,13 +89,15 @@ def measure(n_devices: int):
             b = jax.device_put(jnp.asarray(batch_np),
                                batch_sharding(mesh))
             pp, oo, loss = step(p, o, b)       # compile + warmup
-            jax.block_until_ready(loss)
+            np.asarray(loss)
             reps = 5
             t0 = time.perf_counter()
             for _ in range(reps):
                 pp, oo, loss = step(p, o, b)
-            jax.block_until_ready(loss)
-            return float(loss), (time.perf_counter() - t0) / reps
+            # host-fetch sync: block_until_ready can return early through
+            # the axon tunnel (benchmarks/MFU_AUDIT.md §2)
+            loss_host = float(np.asarray(loss))
+            return loss_host, (time.perf_counter() - t0) / reps
 
         strong_loss, strong_t = timed(inp)                 # fixed global
         weak_np = np.tile(np.asarray(inp), (max(1, n // 1), 1, 1, 1, 1))[
