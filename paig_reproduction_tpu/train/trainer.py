@@ -22,6 +22,12 @@ Intended-semantics divergences (documented; SURVEY.md §3.1):
   JPGs/GIF strips per eval; the reference writes batch_size (=100) of
   each (physics_models.py:263) — ~300 matplotlib renders per eval, which
   would dominate eval wall time. Set PAIG_VIZ_EXAMPLES=100 for parity.
+* After a warm-started training run (--use_ckpt --ckpt_dir=X), the
+  post-training test phase evaluates save_dir's just-trained checkpoint
+  (train_model ends with an unconditional save). The reference re-loads
+  X at that point (torch_run_physics.py:109 + base.py:73-77), i.e. its
+  test log scores the warm start instead of the model it just trained.
+  Pure --test_mode keeps the reference's ckpt_dir-priority semantics.
 
 Metric definitions, artifact names and log formats are identical.
 """
