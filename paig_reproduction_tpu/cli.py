@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "before the extension losses activate "
                              "(object discovery first, physics alignment "
                              "second)")
+    parser.add_argument("--aux_on_recons", type=float, default=0.0,
+                        help="[extension] Discovery-triggered staging: "
+                             "hold the extension losses and train-time "
+                             "physics fits off until the first valid "
+                             "eval with recons below this value "
+                             "(replaces the --aux_warmup_epochs guess "
+                             "for single-command recipes)")
     parser.add_argument("--fit_physics_every", type=int, default=0,
                         help="[extension] Every N epochs, re-identify the "
                              "physical parameters (k/equil or g) by "
@@ -319,6 +326,8 @@ def main(argv=None):
                                 bg_lr_mult=args.bg_lr_mult)
         trainer.fit_physics_every = args.fit_physics_every
         trainer.fit_physics_after = args.fit_physics_after
+        if args.aux_on_recons > 0:
+            trainer.set_aux_trigger(args.aux_on_recons)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
         trainer.train_model(args.epochs, args.batch_size,

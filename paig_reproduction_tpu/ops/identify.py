@@ -52,37 +52,43 @@ def fit_spring(enc, dt):
     return float(k), float(equil), rms
 
 
-def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
-    """Trajectory-space fit: coarse-to-fine grid over (k, equil), scoring
-    rollouts from finite-difference initial velocities against the
-    encoder positions. Integration (vs the pointwise fit's double
-    differentiation) suppresses the errors-in-variables attenuation that
-    biases k toward zero under encoder noise."""
+def spring_trajectory_error(enc, dt, k, e, input_steps=4, horizon=6,
+                            substeps=5):
+    """Summed per-frame median squared trajectory error of spring params
+    (k, e) rolled out from finite-difference initial states against the
+    encoder positions — the objective fit_spring_trajectory minimizes,
+    exposed so callers (the --fit_physics_every hook) can compare a
+    candidate fit against the CURRENT model parameters and refuse
+    regressions (a garbage pre-discovery encoder yields garbage fits)."""
     p = enc.reshape(enc.shape[0], enc.shape[1], 2, 2)
     i0 = input_steps - 1
     horizon = min(horizon, enc.shape[1] - input_steps)
-
-    def batched_spring_step(poss, vels, k, e, substeps=substeps):
-        """One frame of spring dynamics for [N, 2, 2] states (vectorized
-        version of ops/cells.spring_step / the generator integrator)."""
-        h = dt / substeps
+    h = dt / substeps
+    err = 0.0
+    poss = p[:, i0].copy()
+    vels = (p[:, i0] - p[:, i0 - 1]) / dt
+    for t in range(horizon):
         for _ in range(substeps):
             diff = poss[:, 0] - poss[:, 1]
             norm = np.linalg.norm(diff, axis=-1, keepdims=True)
             force = k * (norm - 2 * e) * diff / (norm + 1e-9)
             vels = vels + h * np.stack([-force, force], axis=1)
             poss = poss + h * vels
-        return poss, vels
+        err += np.median(
+            np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+    return float(err)
 
+
+def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
+    """Trajectory-space fit: coarse-to-fine grid over (k, equil), scoring
+    rollouts from finite-difference initial velocities against the
+    encoder positions. Integration (vs the pointwise fit's double
+    differentiation) suppresses the errors-in-variables attenuation that
+    biases k toward zero under encoder noise."""
     def score(k, e):
-        err = 0.0
-        poss = p[:, i0].copy()
-        vels = (p[:, i0] - p[:, i0 - 1]) / dt
-        for t in range(horizon):
-            poss, vels = batched_spring_step(poss, vels, k, e)
-            err += np.median(
-                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
-        return err
+        return spring_trajectory_error(enc, dt, k, e,
+                                       input_steps=input_steps,
+                                       horizon=horizon, substeps=substeps)
 
     ks = np.exp(np.linspace(np.log(0.25), np.log(16), 9))
     es = np.exp(np.linspace(np.log(1.0), np.log(12.0), 9))
@@ -123,22 +129,22 @@ def fit_gravity(enc, dt):
     return A, rms
 
 
-def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
-                           substeps=5):
-    """Trajectory-space 1-D fit of A = g*m^2: coarse-to-fine log-grid,
-    scoring rollouts from finite-difference initial velocities against
-    the encoder positions — the same errors-in-variables cure as
-    fit_spring_trajectory (double differentiation attenuates the
-    pointwise fit under encoder noise; integration does not)."""
+def gravity_trajectory_error(enc, dt, A, input_steps=4, horizon=12,
+                             substeps=5):
+    """fit_gravity_trajectory's objective for one candidate A, exposed
+    for the same candidate-vs-current comparison as
+    :func:`spring_trajectory_error`. Norm floored like the cell's clamp
+    (reference cells.py:99-100); second-order one-sided initial velocity
+    (the first-order difference equals v - a*dt/2, a bias correlated
+    with A that skews the fit)."""
     p = enc.reshape(enc.shape[0], enc.shape[1], 3, 2)
     i0 = input_steps - 1
     horizon = min(horizon, enc.shape[1] - input_steps)
-
-    def step(poss, vels, A):
-        """One frame of 3-body dynamics for [N, 3, 2] states (matches
-        ops/cells.gravity_step / generator physics, norm floored like
-        the cell's clamp, reference cells.py:99-100)."""
-        h = dt / substeps
+    h = dt / substeps
+    err = 0.0
+    poss = p[:, i0].copy()
+    vels = (3 * p[:, i0] - 4 * p[:, i0 - 1] + p[:, i0 - 2]) / (2 * dt)
+    for t in range(horizon):
         for _ in range(substeps):
             acc = np.zeros_like(poss)
             for i in range(3):
@@ -151,19 +157,23 @@ def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
                     acc[:, i] += A * d / n ** 3
             vels = vels + h * acc
             poss = poss + h * vels
-        return poss, vels
+        err += np.median(
+            np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
+    return float(err)
 
+
+def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
+                           substeps=5):
+    """Trajectory-space 1-D fit of A = g*m^2: coarse-to-fine log-grid,
+    scoring rollouts from finite-difference initial velocities against
+    the encoder positions — the same errors-in-variables cure as
+    fit_spring_trajectory (double differentiation attenuates the
+    pointwise fit under encoder noise; integration does not)."""
     def score(A):
-        err = 0.0
-        poss = p[:, i0].copy()
-        # second-order one-sided velocity: the first-order difference
-        # equals v - a*dt/2, a bias correlated with A that skews the fit
-        vels = (3 * p[:, i0] - 4 * p[:, i0 - 1] + p[:, i0 - 2]) / (2 * dt)
-        for t in range(horizon):
-            poss, vels = step(poss, vels, A)
-            err += np.median(
-                np.sum((poss - p[:, input_steps + t]) ** 2, axis=(1, 2)))
-        return err
+        return gravity_trajectory_error(enc, dt, A,
+                                        input_steps=input_steps,
+                                        horizon=horizon,
+                                        substeps=substeps)
 
     grid = np.exp(np.linspace(np.log(2.0), np.log(400.0), 13))
     best = None

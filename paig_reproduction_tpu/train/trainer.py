@@ -78,12 +78,6 @@ class Trainer:
                  native_loader: bool = False):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
-        # Ambient mesh context: lets the model's internal
-        # with_sharding_constraint calls (physics_net._replicate_if_mesh)
-        # see the mesh, so TP runs don't hit GSPMD's replicate-then-
-        # partition fallback in the rollout scan. Semantically inert for
-        # single-device meshes (axis types are Auto).
-        jax.set_mesh(self.mesh)
         self.seed = seed
         self.profile_dir = profile_dir
         # Device-resident uint8 input path with lax.scan-fused optimizer
@@ -93,6 +87,14 @@ class Trainer:
         self.native_loader = native_loader
         # Steps before the extension losses activate (--aux_warmup_epochs)
         self.aux_warmup_steps = 0
+        # Discovery trigger (--aux_on_recons): when > 0, the aux losses
+        # stay off until the FIRST valid eval whose recons drops below
+        # this value — a robust single-command staging signal where a
+        # fixed epoch count is a guess (a pre-discovery model fed
+        # physics-alignment losses collapses to background-only; measured
+        # on runs/spring_one, benchmarks/CONVERGENCE.md).
+        self.aux_on_recons = 0.0
+        self._aux_triggered = False
         # Train-time physics self-identification cadence in epochs
         # (--fit_physics_every; 0 = off) and the first epoch it may run
         # (--fit_physics_after — the fit needs a discovered encoder).
@@ -155,6 +157,16 @@ class Trainer:
         self.step = 0
         self._compile_steps()
 
+    def set_aux_trigger(self, recons_threshold: float):
+        """Arm the --aux_on_recons discovery trigger (call after
+        build_optimizer): aux losses are held off (warmup = +inf) until
+        the first valid eval with recons below the threshold; the
+        train-time physics fit waits for the same signal."""
+        self.aux_on_recons = float(recons_threshold)
+        self._aux_triggered = False
+        if self.aux_on_recons > 0:
+            self.aux_warmup_steps = 1 << 30
+
     def _compile_steps(self):
         model, tx = self.model, self.tx
         b_shard = batch_sharding(self.mesh)
@@ -180,10 +192,11 @@ class Trainer:
                 aux_scale=aux_scale)
             return train_loss, eval_losses
 
-        warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, step):
+        def train_step(params, opt_state, batch, step, warmup):
+            # `warmup` is a traced argument (not a closure constant) so
+            # the host can move the aux-activation boundary mid-run
+            # (--aux_on_recons discovery trigger) without a recompile.
             scale = (step >= warmup).astype(jnp.float32)
             (loss, eval_losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch, scale)
@@ -193,7 +206,7 @@ class Trainer:
             return params, opt_state, metrics
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, data_u8, idxs, step0):
+        def train_chunk(params, opt_state, data_u8, idxs, step0, warmup):
             """K fused optimizer steps in one dispatch (lax.scan).
 
             data_u8: the whole train split resident in HBM as uint8
@@ -249,12 +262,25 @@ class Trainer:
         def forward_extras(params, batch):
             return model.apply({"params": params}, batch, with_extras=True)
 
-        self._train_step = train_step
-        self._train_chunk = train_chunk
-        self._eval_step = eval_step
-        self._eval_chunk = eval_chunk
-        self._forward = forward
-        self._forward_extras = jax.jit(forward_extras)
+        def with_mesh(fn):
+            """Run fn under this trainer's mesh context so the model's
+            internal with_sharding_constraint calls
+            (physics_net._replicate_if_mesh) resolve against it at trace
+            time — TP runs then avoid GSPMD's replicate-then-partition
+            fallback in the rollout scan. A scoped context (not the
+            jax.set_mesh global): trainers with different meshes, and
+            mesh-free code in the same process, stay unaffected."""
+            def wrapped(*args, **kwargs):
+                with jax.sharding.set_mesh(self.mesh):
+                    return fn(*args, **kwargs)
+            return wrapped
+
+        self._train_step = with_mesh(train_step)
+        self._train_chunk = with_mesh(train_chunk)
+        self._eval_step = with_mesh(eval_step)
+        self._eval_chunk = with_mesh(eval_chunk)
+        self._forward = with_mesh(forward)
+        self._forward_extras = with_mesh(jax.jit(forward_extras))
         self._train_u8 = None   # device-resident train split (lazy)
         self._eval_u8 = {}      # device-resident eval splits (lazy)
         self._npz_thread = None
@@ -416,7 +442,9 @@ class Trainer:
                     self.params, self.opt_state, metrics = \
                         self._train_step(self.params, self.opt_state,
                                          batch,
-                                         jnp.asarray(step, jnp.int32))
+                                         jnp.asarray(step, jnp.int32),
+                                         jnp.asarray(self.aux_warmup_steps,
+                                                     jnp.int32))
                     frames += batch.shape[0] * batch.shape[1]
                     self.run_extra_fns("train")
                     if step % print_interval == 0:
@@ -433,7 +461,9 @@ class Trainer:
                     self.params, self.opt_state, metrics = \
                         self._train_chunk(self.params, self.opt_state,
                                           self._train_u8, idxs_d,
-                                          jnp.asarray(step, jnp.int32))
+                                          jnp.asarray(step, jnp.int32),
+                                          jnp.asarray(self.aux_warmup_steps,
+                                                      jnp.int32))
                     n_done = idxs.shape[0]
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
@@ -451,7 +481,8 @@ class Trainer:
                 batch = self._put_batch(feed_dict["input"])
                 self.params, self.opt_state, metrics = self._train_step(
                     self.params, self.opt_state, batch,
-                    jnp.asarray(step, jnp.int32))
+                    jnp.asarray(step, jnp.int32),
+                    jnp.asarray(self.aux_warmup_steps, jnp.int32))
                 frames += batch.shape[0] * batch.shape[1]
 
                 self.run_extra_fns("train")
@@ -466,6 +497,7 @@ class Trainer:
 
             if (self.fit_physics_every > 0
                     and ep >= self.fit_physics_after
+                    and (self.aux_on_recons <= 0 or self._aux_triggered)
                     and ep % self.fit_physics_every == 0):
                 self._identify_physics(batch_size)
 
@@ -475,6 +507,18 @@ class Trainer:
                     batch_size, type="valid")
                 log_metrics(logger, "valid - epoch=%s" % ep,
                             valid_metrics_results)
+                if (self.aux_on_recons > 0 and not self._aux_triggered
+                        and float(valid_metrics_results
+                                  ["eval_recons_loss"])
+                        < self.aux_on_recons):
+                    self._aux_triggered = True
+                    self.aux_warmup_steps = step
+                    logger.info(
+                        "aux_on_recons trigger: valid recons %.3f < %.3f "
+                        "at epoch %d (step %d) — physics-alignment "
+                        "losses and train-time fits now active",
+                        float(valid_metrics_results["eval_recons_loss"]),
+                        self.aux_on_recons, ep, step)
 
             if ep % save_every_n_epochs == 0:
                 print("saving")
@@ -531,24 +575,49 @@ class Trainer:
             _, aux = self._forward(self.params, self._put_batch(bx))
             encs.append(np.asarray(aux["enc_pos"]))
         enc = np.concatenate(encs)              # [N, t_in, n_objs*2]
+        # Acceptance gate: install the fit only when it explains the
+        # encoder trajectories BETTER than the current parameters. A
+        # pre-discovery encoder emits garbage positions, the grid fit
+        # lands on its edge, and installing that would overwrite a
+        # possibly-sane physics state; the comparison makes the hook
+        # monotone under the fit's own objective.
         p = dict(self.params)
         if cell == "spring_ode_cell":
             k, equil, err = identify.fit_spring_trajectory(
                 enc, dt, input_steps=self.model.input_steps,
                 substeps=self.model.cell_substeps)
+            cur_err = identify.spring_trajectory_error(
+                enc, dt, float(np.exp(p["log_k"])),
+                float(np.exp(p["log_equil"])),
+                input_steps=self.model.input_steps,
+                substeps=self.model.cell_substeps)
+            if err >= cur_err:
+                logger.info("fit_physics: rejected (fit err %.3f >= "
+                            "current %.3f)", err, cur_err)
+                return
             p["log_k"] = jnp.asarray(np.log(max(k, 1e-3)), jnp.float32)
             p["log_equil"] = jnp.asarray(np.log(max(equil, 1e-3)),
                                          jnp.float32)
             logger.info("fit_physics: k=%.4f equil=%.4f "
-                        "(median traj err %.3f)", k, equil, err)
+                        "(median traj err %.3f, was %.3f)",
+                        k, equil, err, cur_err)
         else:
             A, err = identify.fit_gravity_trajectory(
                 enc, dt, input_steps=self.model.input_steps,
                 substeps=self.model.cell_substeps)
+            cur_err = identify.gravity_trajectory_error(
+                enc, dt, float(np.exp(p["log_g"])),
+                input_steps=self.model.input_steps,
+                substeps=self.model.cell_substeps)
+            if err >= cur_err:
+                logger.info("fit_physics: rejected (fit err %.3f >= "
+                            "current %.3f)", err, cur_err)
+                return
             # A = exp(log_g)*exp(2*log_m), log_m frozen at 0
             p["log_g"] = jnp.asarray(np.log(max(A, 1e-3)), jnp.float32)
             logger.info("fit_physics: A=g*m^2=%.4f "
-                        "(median traj err %.3f)", A, err)
+                        "(median traj err %.3f, was %.3f)", A, err,
+                        cur_err)
         self.params = p
 
     def flush_artifacts(self):

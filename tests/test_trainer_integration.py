@@ -73,6 +73,35 @@ def test_cli_end_to_end(tiny_spring_data, tmp_path):
     assert last < first, (first, last)
 
 
+def test_aux_on_recons_trigger(tiny_spring_data, tmp_path):
+    """--aux_on_recons holds the extension losses off until valid recons
+    crosses the threshold, then flips them on mid-run (no recompile:
+    warmup is a traced argument)."""
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "trig")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    common = [
+        "--task=spring_color", "--epochs=2", "--batch_size=8",
+        "--base_lr=3e-4", "--autoencoder_loss=3.0", "--color",
+        "--save_every_n_epochs=5", "--eval_every_n_epochs=1",
+        "--print_interval=1", "--data_dir", tiny_spring_data, "--debug",
+        "--pos_consistency=1.0", "--fit_physics_every=1",
+    ]
+    # Threshold far above any real recons: triggers at the FIRST eval.
+    main(common + ["--save_dir", save_dir, "--aux_on_recons=1e6"])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "aux_on_recons trigger" in log
+
+    # Threshold below any 2-epoch recons: never triggers; the train-time
+    # physics fit is held off by the same signal.
+    save_dir2 = str(tmp_path / "notrig")
+    main(common + ["--save_dir", save_dir2, "--aux_on_recons=1e-6"])
+    log2 = open(os.path.join(save_dir2, "log.txt")).read()
+    assert "aux_on_recons trigger" not in log2
+    assert "fit_physics" not in log2
+
+
 def test_resume_from_checkpoint(tiny_spring_data, tmp_path):
     """--use_ckpt restores params+opt_state+step (capability superset of
     the reference, which restores params only)."""
