@@ -21,6 +21,9 @@ Extra keys (the whole truth, not just the fused headline):
                     axon tunnel is unreliable — see MFU_AUDIT.md).
   model_tflops      MXU FLOPs of one train step (dot/conv contractions
                     counted from the jaxpr, utils/flops.py) / time.
+  bf16_step_time_us / bf16_fps_per_chip
+                    same fused step with --compute_dtype=bfloat16
+                    (f32 master weights, conv stack in bf16).
   mfu_pct           model_tflops vs the f32 peak table below. Honest
                     expectation for this model family: single digits —
                     3x3 convs at 3-32 channels cannot fill a 128x128
@@ -175,6 +178,48 @@ def main():
     except Exception:
         pass
 
+    # --- bf16 compute path (f32 master weights, conv stack in bfloat16) --
+    # Same step through the same fused-chunk path; reported alongside the
+    # f32 headline (the reference's published config is f32).
+    bf16_step_us = None
+    try:
+        model16 = PhysicsNet(
+            task="spring_color", cell_type="spring_ode_cell", seq_len=T,
+            input_steps=4, pred_steps=6, autoencoder_loss=3.0, color=True,
+            input_size=32 * 32, compute_dtype="bfloat16")
+        p16 = model16.init(jax.random.PRNGKey(0), inp)["params"]
+        o16 = tx.init(p16)
+        p16 = jax.device_put(p16, param_shardings(p16, mesh))
+
+        def loss16(p, b):
+            out, aux = model16.apply({"params": p}, b)
+            loss, _ = compute_losses(model16, b, out, aux["recons_out"])
+            return loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def chunk16(p, o, data, idxs):
+            def body(carry, idx):
+                p, o = carry
+                b = data[idx].astype(jnp.float32) / 255.0
+                loss, grads = jax.value_and_grad(loss16)(p, b)
+                updates, o = tx.update(grads, o, p)
+                p = jax.tree.map(lambda x, u: x + u, p, updates)
+                return (p, o), loss
+            (p, o), losses = jax.lax.scan(body, (p, o), idxs)
+            return p, o, losses
+
+        for _ in range(2):
+            p16, o16, l16 = chunk16(p16, o16, data_u8, make_idxs())
+        np.asarray(l16[-1])
+        n16 = 5
+        t0 = time.perf_counter()
+        for _ in range(n16):
+            p16, o16, l16 = chunk16(p16, o16, data_u8, make_idxs())
+        np.asarray(l16[-1])
+        bf16_step_us = (time.perf_counter() - t0) / (n16 * K) * 1e6
+    except Exception:
+        pass
+
     # --- end-to-end epoch + eval throughput via the real Trainer ---------
     e2e_epoch_fps = eval_fps = None
     try:
@@ -202,6 +247,10 @@ def main():
         "model_tflops": (round(model_tflops, 2)
                          if model_tflops else None),
         "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
+        "bf16_step_time_us": (round(bf16_step_us, 1)
+                              if bf16_step_us else None),
+        "bf16_fps_per_chip": (round(B * T / (bf16_step_us / 1e6) / n_chips, 1)
+                              if bf16_step_us else None),
     }))
 
 
@@ -272,4 +321,22 @@ def _e2e_throughput(model, B, T):
 
 
 if __name__ == "__main__":
-    main()
+    # The experimental axon tunnel occasionally poisons a process with a
+    # transient FAILED_PRECONDITION on the first device->host fetch (seen
+    # 2026-08-17: bench failed at warmup while the very next fresh-process
+    # job succeeded). A fresh process gets a fresh PJRT client, so retry
+    # once by re-exec'ing ourselves; stdout stays clean (the JSON line is
+    # only printed on success).
+    try:
+        main()
+    except Exception:
+        import sys
+        import traceback
+        if os.environ.get("PAIG_BENCH_RETRY") != "1":
+            traceback.print_exc()
+            print("bench: transient backend failure, retrying in a fresh "
+                  "process in 60s", file=sys.stderr)
+            os.environ["PAIG_BENCH_RETRY"] = "1"
+            time.sleep(60)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
