@@ -106,17 +106,21 @@ def main():
     idx_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(p, o, data, idxs):
-        def body(carry, idx):
-            p, o = carry
-            b = data[idx].astype(jnp.float32) / 255.0
-            loss, grads = jax.value_and_grad(loss_fn)(p, b)
-            updates, o = tx.update(grads, o, p)
-            p = jax.tree.map(lambda x, u: x + u, p, updates)
-            return (p, o), loss
-        (p, o), losses = jax.lax.scan(body, (p, o), idxs)
-        return p, o, losses
+    def make_chunk(step_loss_fn):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def chunk(p, o, data, idxs):
+            def body(carry, idx):
+                p, o = carry
+                b = data[idx].astype(jnp.float32) / 255.0
+                loss, grads = jax.value_and_grad(step_loss_fn)(p, b)
+                updates, o = tx.update(grads, o, p)
+                p = jax.tree.map(lambda x, u: x + u, p, updates)
+                return (p, o), loss
+            (p, o), losses = jax.lax.scan(body, (p, o), idxs)
+            return p, o, losses
+        return chunk
+
+    train_chunk = make_chunk(loss_fn)
 
     def make_idxs():
         return jax.device_put(
@@ -196,17 +200,7 @@ def main():
             loss, _ = compute_losses(model16, b, out, aux["recons_out"])
             return loss
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def chunk16(p, o, data, idxs):
-            def body(carry, idx):
-                p, o = carry
-                b = data[idx].astype(jnp.float32) / 255.0
-                loss, grads = jax.value_and_grad(loss16)(p, b)
-                updates, o = tx.update(grads, o, p)
-                p = jax.tree.map(lambda x, u: x + u, p, updates)
-                return (p, o), loss
-            (p, o), losses = jax.lax.scan(body, (p, o), idxs)
-            return p, o, losses
+        chunk16 = make_chunk(loss16)
 
         for _ in range(2):
             p16, o16, l16 = chunk16(p16, o16, data_u8, make_idxs())
@@ -329,10 +323,12 @@ if __name__ == "__main__":
     # only printed on success).
     try:
         main()
-    except Exception:
+    except Exception as e:
         import sys
         import traceback
-        if os.environ.get("PAIG_BENCH_RETRY") != "1":
+        from jax.errors import JaxRuntimeError
+        transient = isinstance(e, JaxRuntimeError)
+        if transient and os.environ.get("PAIG_BENCH_RETRY") != "1":
             traceback.print_exc()
             print("bench: transient backend failure, retrying in a fresh "
                   "process in 60s", file=sys.stderr)

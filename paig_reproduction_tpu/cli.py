@@ -168,6 +168,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "input-window positions before the rollout "
                              "(the model's own decoder as the position "
                              "sensor; 0 = off)")
+    parser.add_argument("--refine_recons_pos", type=int, default=0,
+                        help="[extension] GN iterations of the same "
+                             "render-based refinement applied to EVERY "
+                             "encoded frame before the autoencoder "
+                             "decode (cuts sub-pixel edge error in "
+                             "eval_recons_loss; intended for eval/test; "
+                             "0 = off)")
     parser.add_argument("--attn_overlap_loss", type=float, default=0.0,
                         help="[extension] Weight of the slot-overlap "
                              "penalty (pixelwise products of object "
@@ -298,6 +305,7 @@ def main(argv=None):
             cell_substeps=args.cell_substeps,
             init_state_fit=args.init_state_fit,
             refine_enc_pos=args.refine_enc_pos,
+            refine_recons_pos=args.refine_recons_pos,
             attn_overlap_loss=args.attn_overlap_loss,
             active_slots=args.active_slots,
             slot_gate_soft=args.slot_gate_soft,

@@ -206,6 +206,16 @@ class PhysicsNet(nn.Module):
     # the rollout's observation window is refined; the autoencoder path
     # and its training gradients are untouched.
     refine_enc_pos: int = 0
+    # [extension, default off] Same render-based GN refinement applied to
+    # EVERY encoded frame's positions before the autoencoder decode: cuts
+    # the sub-pixel edge-ring error that dominates eval_recons_loss once
+    # discovery has landed (measured on mnist: 72% of recons SSE sits in
+    # a 2px ring around object edges). Gradients pass straight through
+    # the refinement to the encoder MLP (evaluated at the refined
+    # positions); subsumes refine_enc_pos when > 0 (the rollout window is
+    # sliced from the refined positions). Intended for eval/test;
+    # training with it on costs iters x cu2 extra decoder passes.
+    refine_recons_pos: int = 0
 
     # ----- derived static properties -------------------------------------
     @property
@@ -325,6 +335,12 @@ class PhysicsNet(nn.Module):
                    else None),
             name="encoder")(frames)
 
+        if self.refine_recons_pos > 0:
+            enc_pos_flat = refine_positions(
+                lambda p: st_decode(assets, p, cfg,
+                                    backend=self._backend)[0],
+                frames, enc_pos_flat, iters=self.refine_recons_pos)
+
         # --- autoencoder path ---------------------------------------------
         recons_flat, _ = st_decode(assets, enc_pos_flat, cfg,
                                    backend=self._backend)
@@ -345,7 +361,7 @@ class PhysicsNet(nn.Module):
         # subpixel-refined against the model's own renderer; the encoder
         # MLP's output still drives the autoencoder loss above.
         obs_win = enc_pos[:, :self.input_steps]
-        if self.refine_enc_pos > 0:
+        if self.refine_enc_pos > 0 and self.refine_recons_pos == 0:
             s = self.input_steps
             win_frames = x[:, :s].reshape(b * s, img, img, ch)
             obs_win = refine_positions(

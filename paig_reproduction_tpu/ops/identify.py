@@ -41,10 +41,14 @@ def fit_spring(enc, dt):
     a_par = np.concatenate([a_par0, a_par1])
     n = np.concatenate([norm.ravel(), norm.ravel()])
     A = np.stack([-n, np.ones_like(n)], 1)
-    # robust: trim outliers once
+    # robust: trim outliers once. On an exact fit resid.std() is 0 and
+    # the trim would drop EVERY row (lstsq on a 0-row system returns
+    # zeros -> k=0, equil=nan); keep the first fit in that case.
     coef, *_ = np.linalg.lstsq(A, a_par, rcond=None)
     resid = A @ coef - a_par
     keep = np.abs(resid) < 3 * resid.std()
+    if keep.sum() < 2:
+        keep = np.ones_like(keep)
     coef, *_ = np.linalg.lstsq(A[keep], a_par[keep], rcond=None)
     k = coef[0]
     equil = coef[1] / (2 * k) if k > 1e-6 else float("nan")

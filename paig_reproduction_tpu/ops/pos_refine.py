@@ -54,15 +54,13 @@ def refine_positions(render_fn, frames: jnp.ndarray, pos0: jnp.ndarray,
     n, cu2 = p0.shape
 
     def gn_step(p, _):
-        out, jvps = [], []
-        # One JVP per coordinate: J[:, k] = d render / d p_k. Forward mode
+        # Linearize once (one primal render), then one cheap tangent pass
+        # per coordinate: J[:, k] = d render / d p_k. Forward mode
         # matches the problem shape (huge output, tiny input).
+        out, lin = jax.linearize(render_fn, p)
         basis = jnp.eye(cu2, dtype=p.dtype)
-        for k in range(cu2):
-            o, jk = jax.jvp(render_fn, (p,),
-                            (jnp.broadcast_to(basis[k], p.shape),))
-            jvps.append(jk.reshape(n, -1))
-            out = o
+        jvps = [lin(jnp.broadcast_to(basis[k], p.shape)).reshape(n, -1)
+                for k in range(cu2)]
         j = jnp.stack(jvps, axis=-1)                  # [N, HWC, cu2]
         r = (out - y).reshape(n, -1)                  # [N, HWC]
         jtj = jnp.einsum("nik,nil->nkl", j, j)

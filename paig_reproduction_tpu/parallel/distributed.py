@@ -40,7 +40,7 @@ def init_distributed(coordinator: Optional[str] = None,
     if process_id is None and "PAIG_PROCESS_ID" in os.environ:
         process_id = int(os.environ["PAIG_PROCESS_ID"])
 
-    if coordinator is None and num_processes is None:
+    if coordinator is None and num_processes is None and process_id is None:
         return 0
     missing = [name for name, v in (("PAIG_COORDINATOR", coordinator),
                                     ("PAIG_NUM_PROCESSES", num_processes),

@@ -132,37 +132,59 @@ def set_background(params: Dict, bg_img: np.ndarray) -> Dict:
                               logit(bg_img).reshape(-1))
 
 
-def disk_template_logits(tmpl_size: int, radius: float) -> np.ndarray:
-    """Centered-disk raw template logits [T, T] (+DISK_IN/-DISK_OUT)."""
+def disk_template_logits(tmpl_size: int, radius: float,
+                         inside: float = DISK_IN,
+                         outside: float = DISK_OUT) -> np.ndarray:
+    """Centered-disk raw template logits [T, T] (inside/outside values)."""
     c = (tmpl_size - 1) / 2.0
     yy, xx = np.mgrid[:tmpl_size, :tmpl_size]
     rr = np.sqrt((yy - c) ** 2 + (xx - c) ** 2)
-    return np.where(rr <= radius, DISK_IN, DISK_OUT).astype(np.float32)
+    return np.where(rr <= radius, inside, outside).astype(np.float32)
 
 
-def slot_health(params: Dict, n_objs: int, tmpl_size: int
-                ) -> np.ndarray:
+def template_prior_logits(tmpl_size: int, template_init: float
+                          ) -> np.ndarray:
+    """The --template_init graph-constant prior one slot's MLP output is
+    shifted by (models/physics_net.py: +6 inside radius, -6 outside);
+    zeros when template_init <= 0."""
+    if template_init <= 0:
+        return np.zeros((tmpl_size, tmpl_size), np.float32)
+    return disk_template_logits(tmpl_size, template_init,
+                                inside=6.0, outside=-6.0)
+
+
+def slot_health(params: Dict, n_objs: int, tmpl_size: int,
+                template_init: float = 0.0) -> np.ndarray:
     """Per-slot count of decoder-VISIBLE template pixels: the composited
     mask softmaxes each warped template logit against the background's
     constant +1 (decoder.py), so a pixel contributes only where its raw
     logit exceeds ~1. A dead slot has zero such pixels (its whole
     template sits below the background logit — measured on the mnist
-    dead slot: max logit 0.58 over all 1024 px)."""
+    dead slot: max logit 0.58 over all 1024 px).
+
+    ``template_init`` MUST match the flag the checkpoint was trained
+    with: the prior is a graph constant added on top of the MLP output
+    (not a parameter), so health is judged on MLP + prior."""
     t = var_net_forward(params, "var_net_template").reshape(
         n_objs, tmpl_size, tmpl_size)
+    t = t + template_prior_logits(tmpl_size, template_init)[None]
     return (t > 1.0).sum(axis=(1, 2)).astype(np.float64)
 
 
 def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,
                 conv_ch: int, radius: float = 9.0,
-                content_rgb: Sequence[float] = (0.5, 0.5, 0.5)) -> Dict:
+                content_rgb: Sequence[float] = (0.5, 0.5, 0.5),
+                template_init: float = 0.0) -> Dict:
     """Re-initialize one slot's template (centered disk) and contents
-    (flat color), leaving other slots untouched."""
+    (flat color), leaving other slots untouched. ``template_init`` must
+    match the checkpoint's training flag so the installed EFFECTIVE
+    logits (MLP + graph-constant prior) equal the intended disk."""
     tt = tmpl_size * tmpl_size
     tmpl_idx = np.arange(slot * tt, (slot + 1) * tt)
+    target = (disk_template_logits(tmpl_size, radius)
+              - template_prior_logits(tmpl_size, template_init))
     params = set_var_net_output(
-        params, "var_net_template",
-        disk_template_logits(tmpl_size, radius).reshape(-1), tmpl_idx)
+        params, "var_net_template", target.reshape(-1), tmpl_idx)
     ctt = tt * conv_ch
     cont_idx = np.arange(slot * ctt, (slot + 1) * ctt)
     content = np.tile(logit(np.asarray(content_rgb, np.float32))[None],

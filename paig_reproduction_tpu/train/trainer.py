@@ -309,16 +309,31 @@ class Trainer:
         if restore:
             print(f"Loading model from: {restore_dir}/model.ckpt")
             target = {"params": self.params, "opt_state": self.opt_state,
-                      "step": jnp.asarray(self.step)}
+                      "step": jnp.asarray(self.step),
+                      # -1 = trigger not fired (also the value partial
+                      # restore keeps for pre-trigger-era checkpoints)
+                      "aux_trigger_step": jnp.asarray(-1)}
             restored = restore_checkpoint(restore_dir, target)
             self.params = restored["params"]
             self.opt_state = restored["opt_state"]
             self.step = int(restored["step"])
+            trig = int(restored["aux_trigger_step"])
+            if self.aux_on_recons > 0 and trig >= 0:
+                # Resumed run had already passed the --aux_on_recons
+                # discovery gate: keep the aux losses on from step 0
+                # instead of silently re-disarming until the next eval.
+                self._aux_triggered = True
+                self.aux_warmup_steps = trig
+                logger.info(
+                    "aux_on_recons trigger restored from checkpoint "
+                    "(fired at step %d)", trig)
 
     def save(self):
         save_checkpoint(self.save_dir, {
             "params": self.params, "opt_state": self.opt_state,
-            "step": jnp.asarray(self.step)})
+            "step": jnp.asarray(self.step),
+            "aux_trigger_step": jnp.asarray(
+                self.aux_warmup_steps if self._aux_triggered else -1)})
 
     # ----- logging ----------------------------------------------------------
     def add_train_logger(self):

@@ -27,16 +27,15 @@ def _conv_flops(eqn) -> float:
     out = eqn.outvars[0].aval.shape
     rhs = eqn.invars[1].aval.shape
     dn = eqn.params["dimension_numbers"]
-    groups = (eqn.params.get("feature_group_count", 1)
-              * eqn.params.get("batch_group_count", 1))
-    # rhs layout per dn.rhs_spec: (out_ch, in_ch/g, *spatial)
+    # rhs layout per dn.rhs_spec: (out_ch, in_ch/g, *spatial) — the
+    # in-channel extent is ALREADY per-group, so each output element costs
+    # 2 * in_ch_per_g * prod(spatial) regardless of the group count.
     rhs_spec = dn.rhs_spec
     in_ch_per_g = rhs[rhs_spec[1]]
     spatial = [rhs[i] for i in rhs_spec[2:]]
     out_elems = float(np.prod(out, dtype=np.float64))
     return (2.0 * out_elems * in_ch_per_g
-            * float(np.prod(spatial, dtype=np.float64)) / max(groups, 1)
-            * 1.0)
+            * float(np.prod(spatial, dtype=np.float64)))
 
 
 def matmul_flops(jaxpr) -> float:

@@ -80,3 +80,38 @@ def test_refine_wired_into_model():
                                np.asarray(aux1["recons_out"]), atol=1e-6)
     assert not np.allclose(aux0["pos_vel_seq"][:, 0],
                            aux1["pos_vel_seq"][:, 0])
+
+
+def test_refine_recons_pos_changes_recons_and_keeps_grads():
+    """--refine_recons_pos refines EVERY encoded frame before the
+    autoencoder decode: recons_out moves, the rollout window follows the
+    refined positions, and gradients to the encoder stay finite
+    (straight-through)."""
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.models.physics_net import compute_losses
+
+    rs = np.random.RandomState(4)
+    inp = jnp.asarray(rs.rand(2, 12, 3, 32, 32), jnp.float32)
+    kw = dict(task="spring_color", cell_type="spring_ode_cell",
+              seq_len=12, input_steps=4, pred_steps=6,
+              autoencoder_loss=3.0, color=True, input_size=32 * 32)
+    m0 = PhysicsNet(**kw)
+    m2 = PhysicsNet(refine_recons_pos=2, **kw)
+    params = m0.init(jax.random.PRNGKey(0), inp)
+    out0, aux0 = m0.apply(params, inp)
+    out2, aux2 = m2.apply(params, inp)
+    assert bool(jnp.all(jnp.isfinite(out2)))
+    assert not np.allclose(np.asarray(aux0["recons_out"]),
+                           np.asarray(aux2["recons_out"]))
+    assert not np.allclose(aux0["pos_vel_seq"][:, 0],
+                           aux2["pos_vel_seq"][:, 0])
+
+    def loss(p):
+        o, a = m2.apply(p, inp)
+        l, _ = compute_losses(m2, inp, o, a["recons_out"])
+        return l
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)

@@ -99,7 +99,33 @@ def test_aux_on_recons_trigger(tiny_spring_data, tmp_path):
     main(common + ["--save_dir", save_dir2, "--aux_on_recons=1e-6"])
     log2 = open(os.path.join(save_dir2, "log.txt")).read()
     assert "aux_on_recons trigger" not in log2
-    assert "fit_physics" not in log2
+    # the hook's own log lines all start "fit_physics:"; matching the
+    # colon avoids false hits from the argv echo at the top of log.txt
+    # (e.g. a pytest invocation naming tests/test_fit_physics.py)
+    assert "fit_physics:" not in log2
+
+
+def test_aux_trigger_survives_resume(tiny_spring_data, tmp_path):
+    """A fired --aux_on_recons trigger is checkpointed: resuming keeps
+    the aux losses on from step 0 instead of silently re-disarming until
+    the next eval."""
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "trig_resume")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    common = [
+        "--task=spring_color", "--batch_size=8", "--save_dir", save_dir,
+        "--base_lr=3e-4", "--autoencoder_loss=3.0", "--color",
+        "--save_every_n_epochs=1", "--eval_every_n_epochs=1",
+        "--print_interval=1", "--data_dir", tiny_spring_data, "--debug",
+        "--pos_consistency=1.0", "--aux_on_recons=1e6",
+    ]
+    main(common + ["--epochs=1"])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "aux_on_recons trigger:" in log
+    main(common + ["--epochs=1", "--use_ckpt"])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "aux_on_recons trigger restored" in log
 
 
 def test_resume_from_checkpoint(tiny_spring_data, tmp_path):

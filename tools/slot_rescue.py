@@ -51,6 +51,12 @@ def main(argv=None):
                          "of slot indices, or '' to skip slot surgery")
     ap.add_argument("--disk_radius", type=float, default=9.0,
                     help="template-disk prior radius (template px)")
+    ap.add_argument("--template_init", type=float, default=0.0,
+                    help="MUST match the --template_init the checkpoint "
+                         "was trained with: the training-time prior is a "
+                         "graph constant on top of the template MLP, so "
+                         "health ranking and installed disks account for "
+                         "it")
     ap.add_argument("--content_rgb", default="0.5,0.5,0.5",
                     help="flat content color for the rescued slot")
     ap.add_argument("--set_background", default="",
@@ -74,7 +80,8 @@ def main(argv=None):
     ch = 3
     n_objs = {"3bp_color": 3}.get(args.task, 2)
 
-    health = surgery.slot_health(params, n_objs, tmpl)
+    health = surgery.slot_health(params, n_objs, tmpl,
+                                 template_init=args.template_init)
     print(f"slot template mask mass (px): {health}")
 
     if args.rescue_slot != "":
@@ -90,7 +97,8 @@ def main(argv=None):
                   f"content {rgb}")
             params = surgery.rescue_slot(params, slot, n_objs, tmpl, ch,
                                          radius=args.disk_radius,
-                                         content_rgb=rgb)
+                                         content_rgb=rgb,
+                                         template_init=args.template_init)
 
     if args.set_background:
         if args.set_background == "median":
