@@ -24,6 +24,46 @@ from __future__ import annotations
 
 import numpy as np
 
+# Outer coarse-to-fine grid bounds. A fit that lands on (or refines
+# against) an outer edge found no interior optimum — the trajectory data
+# does not look like the law at all (e.g. uncorrected per-slot position
+# offsets, a pre-discovery encoder) — and must not be installed.
+SPRING_K_BOUNDS = (0.25, 16.0)
+SPRING_E_BOUNDS = (1.0, 12.0)
+GRAVITY_A_BOUNDS = (2.0, 400.0)
+
+
+def on_bounds(value, bounds, rel=0.02) -> bool:
+    """True when ``value`` sits within ``rel`` (log-space) of either
+    outer grid edge."""
+    lo, hi = bounds
+    return (value <= lo * (1 + rel)) or (value >= hi * (1 - rel))
+
+
+def align_slots(enc: np.ndarray, n_objs: int) -> np.ndarray:
+    """Permutation-consistent slot identities across frames.
+
+    enc: [N, T, n_objs*2] object-major (x1, y1, x2, y2, ...). The encoder
+    binds slots by appearance and can flicker the assignment at object
+    crossings (measured: 68/200 bouncing test sequences), which poisons
+    any trajectory fit. Aligns each frame backward to its successor by
+    exhaustive permutation (n_objs <= 3 in every task; identity for
+    larger counts). Numpy twin of ops/state_fit.align_slot_identities
+    (which is jit-side and 2-object)."""
+    if n_objs > 3 or n_objs < 2 or enc.shape[1] < 2:
+        return enc
+    from itertools import permutations
+    p = enc.reshape(enc.shape[0], enc.shape[1], n_objs, 2).copy()
+    perms = list(permutations(range(n_objs)))
+    for t in range(p.shape[1] - 2, -1, -1):
+        ref = p[:, t + 1]
+        costs = np.stack([((p[:, t][:, list(pm)] - ref) ** 2).sum((1, 2))
+                          for pm in perms], axis=1)
+        best = costs.argmin(axis=1)
+        for i in np.nonzero(best)[0]:
+            p[i, t] = p[i, t][list(perms[best[i]])]
+    return p.reshape(enc.shape)
+
 
 def fit_spring(enc, dt):
     """enc: [N, T, 4] object-major (x1,y1,x2,y2). Returns (k, equil,

@@ -527,13 +527,29 @@ class Trainer:
                                   ["eval_recons_loss"])
                         < self.aux_on_recons):
                     self._aux_triggered = True
-                    self.aux_warmup_steps = step
-                    logger.info(
-                        "aux_on_recons trigger: valid recons %.3f < %.3f "
-                        "at epoch %d (step %d) — physics-alignment "
-                        "losses and train-time fits now active",
-                        float(valid_metrics_results["eval_recons_loss"]),
-                        self.aux_on_recons, ep, step)
+                    if self.fit_physics_every > 0:
+                        # Physics is still uninitialized here; arming the
+                        # alignment losses now would anchor the encoder
+                        # to garbage rollouts (measured collapse:
+                        # runs/spring_one2, recons 1.25 -> 20). The first
+                        # ACCEPTED train-time fit enables them instead.
+                        logger.info(
+                            "aux_on_recons trigger: valid recons %.3f < "
+                            "%.3f at epoch %d (step %d) — train-time "
+                            "physics fits armed; alignment losses enable "
+                            "on the first accepted fit",
+                            float(valid_metrics_results
+                                  ["eval_recons_loss"]),
+                            self.aux_on_recons, ep, step)
+                    else:
+                        self.aux_warmup_steps = step
+                        logger.info(
+                            "aux_on_recons trigger: valid recons %.3f < "
+                            "%.3f at epoch %d (step %d) — physics-"
+                            "alignment losses now active",
+                            float(valid_metrics_results
+                                  ["eval_recons_loss"]),
+                            self.aux_on_recons, ep, step)
 
             if ep % save_every_n_epochs == 0:
                 print("saving")
@@ -576,6 +592,19 @@ class Trainer:
         command: the pixel loss cannot pull the physical parameters out
         of the ballistic basin (vanishing gradient once objects stop
         overlapping), but the encoder it trains identifies them exactly.
+
+        The raw encoder positions are window coordinates, offset from
+        each object's APPEARANCE center by a per-slot constant (the
+        learned template need not be centered). The pairwise laws are
+        not offset-invariant, so the fit corrects by render-measured
+        centroid offsets first (measured on runs/ph7: raw fit k=0.71
+        err=164 — garbage at the failure scale of the spring_one2
+        collapse — vs offset-corrected k=4.49 equil=6.02 err=5.7,
+        truth 4/6), aligns slot identities, and rejects fits landing on
+        the search-grid edges. On acceptance the measured offsets are
+        installed into the frame_offset parameter (when
+        --learn_frame_offset) so the rollout runs in the same
+        appearance-centroid frame the fit used.
         """
         cell = self.model.cell_type
         if cell not in ("spring_ode_cell", "gravity_ode_cell"):
@@ -590,6 +619,9 @@ class Trainer:
             _, aux = self._forward(self.params, self._put_batch(bx))
             encs.append(np.asarray(aux["enc_pos"]))
         enc = np.concatenate(encs)              # [N, t_in, n_objs*2]
+        offsets = self._rendered_offsets()
+        enc = identify.align_slots(enc + offsets[None, None],
+                                   self.model.n_objs)
         # Acceptance gate: install the fit only when it explains the
         # encoder trajectories BETTER than the current parameters. A
         # pre-discovery encoder emits garbage positions, the grid fit
@@ -606,9 +638,15 @@ class Trainer:
                 float(np.exp(p["log_equil"])),
                 input_steps=self.model.input_steps,
                 substeps=self.model.cell_substeps)
-            if err >= cur_err:
-                logger.info("fit_physics: rejected (fit err %.3f >= "
-                            "current %.3f)", err, cur_err)
+            if (identify.on_bounds(k, identify.SPRING_K_BOUNDS)
+                    or identify.on_bounds(equil, identify.SPRING_E_BOUNDS)):
+                logger.info("fit_physics: rejected (k=%.3f equil=%.3f on "
+                            "search bounds — no interior optimum)",
+                            k, equil)
+                return
+            if err >= 0.75 * cur_err:
+                logger.info("fit_physics: rejected (fit err %.3f not "
+                            "decisively under current %.3f)", err, cur_err)
                 return
             p["log_k"] = jnp.asarray(np.log(max(k, 1e-3)), jnp.float32)
             p["log_equil"] = jnp.asarray(np.log(max(equil, 1e-3)),
@@ -624,16 +662,62 @@ class Trainer:
                 enc, dt, float(np.exp(p["log_g"])),
                 input_steps=self.model.input_steps,
                 substeps=self.model.cell_substeps)
-            if err >= cur_err:
-                logger.info("fit_physics: rejected (fit err %.3f >= "
-                            "current %.3f)", err, cur_err)
+            if identify.on_bounds(A, identify.GRAVITY_A_BOUNDS):
+                logger.info("fit_physics: rejected (A=%.3f on search "
+                            "bounds — no interior optimum)", A)
+                return
+            if err >= 0.75 * cur_err:
+                logger.info("fit_physics: rejected (fit err %.3f not "
+                            "decisively under current %.3f)", err, cur_err)
                 return
             # A = exp(log_g)*exp(2*log_m), log_m frozen at 0
             p["log_g"] = jnp.asarray(np.log(max(A, 1e-3)), jnp.float32)
             logger.info("fit_physics: A=g*m^2=%.4f "
                         "(median traj err %.3f, was %.3f)", A, err,
                         cur_err)
+        if "frame_offset" in p:
+            # Run the rollout in the appearance-centroid frame the fit
+            # used (pos_phys = pos_enc + frame_offset).
+            p["frame_offset"] = jnp.asarray(offsets, jnp.float32)
         self.params = p
+        if (self.aux_on_recons > 0 and self._aux_triggered
+                and self.aux_warmup_steps >= (1 << 30)):
+            # Two-stage staging: the recons trigger armed the fits; the
+            # first ACCEPTED fit turns the physics-alignment losses on.
+            # Enabling them on the recons trigger alone anchored the
+            # encoder to rollouts under still-uninitialized physics and
+            # collapsed the model (runs/spring_one2).
+            self.aux_warmup_steps = self.step
+            logger.info(
+                "fit_physics: first accepted fit — physics-alignment "
+                "losses now active (step %d)", self.step)
+
+    def _rendered_offsets(self) -> np.ndarray:
+        """Per-slot appearance-centroid offsets in image px (obj-major
+        x, y, flat [n_objs*2]): centroid of each object's OWN rendered
+        appearance (composited softmax mask x content luminance) minus
+        the encoder position it was rendered at — exactly the constant a
+        pixel tracker sees between the window coordinate and the object
+        center. Median over frames is robust to boundary clipping. Same
+        estimator as tools/fit_physics.py (the earlier template-centroid
+        variant was up to 6 px off on mnist digits)."""
+        n = min(8, self.train_iterator.num_examples)
+        bx = self.train_iterator.X[:n]
+        _, aux = self._forward_extras(self.params, self._put_batch(bx))
+        masks = np.asarray(aux["extras"]["transf_masks"])    # [F,o+1,H,W]
+        conts = np.asarray(aux["extras"]["transf_contents"])  # [F,o,H,W,C]
+        pos_at = np.asarray(aux["enc_pos"]).reshape(
+            -1, self.model.n_objs, 2)
+        lum = conts.mean(axis=-1)
+        w = masks[:, : self.model.n_objs] * lum               # [F,o,H,W]
+        hh, ww = w.shape[-2:]
+        xs = np.arange(ww, dtype=np.float64) + 0.5
+        ys = np.arange(hh, dtype=np.float64) + 0.5
+        tot = w.sum(axis=(2, 3)) + 1e-9
+        cx = (w.sum(axis=2) * xs).sum(-1) / tot
+        cy = (w.sum(axis=3) * ys).sum(-1) / tot
+        per_frame = np.stack([cx, cy], axis=-1) - pos_at      # [F,o,2]
+        return np.median(per_frame, axis=0).reshape(-1)
 
     def flush_artifacts(self):
         """Block until the async outputs.npz writer (if any) finishes."""

@@ -324,6 +324,16 @@ def test_fit_physics_hook_identifies_spring():
     tr.train_iterator = FakeIt()
     tr._put_batch = lambda b: b
     tr._forward = lambda p, b: (None, {"enc_pos": enc[:8]})
+    # offset estimator needs a rendering forward; covered separately —
+    # here the oracle positions ARE appearance centers
+    tr._rendered_offsets = lambda: np.zeros(4)
+
+    # two-stage staging: the recons trigger armed the fits, alignment
+    # losses are still off; the accepted fit must enable them
+    tr.aux_on_recons = 3.5
+    tr._aux_triggered = True
+    tr.aux_warmup_steps = 1 << 30
+    tr.step = 1234
 
     tr._identify_physics(batch_size=8)
     k_fit = float(np.exp(tr.params["log_k"]))
@@ -335,3 +345,21 @@ def test_fit_physics_hook_identifies_spring():
     assert abs(e_fit - e_true) < 1.0, e_fit
     assert abs(float(tr.params["log_g"]) if "log_g" in tr.params
                else 0.0) == 0.0
+    assert tr.aux_warmup_steps == 1234   # enabled by the accepted fit
+
+    # a fit with no interior optimum (pure noise positions) must be
+    # rejected and leave params + staging untouched
+    tr2 = Trainer(model)
+    tr2.params = {"log_k": jnp.zeros(()), "log_equil": jnp.zeros(())}
+    tr2.train_iterator = FakeIt()
+    tr2._put_batch = lambda b: b
+    noise = rs.uniform(0, 32, (8, t, 4)).astype(np.float32)
+    tr2._forward = lambda p, b: (None, {"enc_pos": noise})
+    tr2._rendered_offsets = lambda: np.zeros(4)
+    tr2.aux_on_recons = 3.5
+    tr2._aux_triggered = True
+    tr2.aux_warmup_steps = 1 << 30
+    tr2.step = 99
+    tr2._identify_physics(batch_size=8)
+    assert float(tr2.params["log_k"]) == 0.0
+    assert tr2.aux_warmup_steps == 1 << 30
