@@ -321,8 +321,26 @@ if __name__ == "__main__":
     # job succeeded). A fresh process gets a fresh PJRT client, so retry
     # once by re-exec'ing ourselves; stdout stays clean (the JSON line is
     # only printed on success).
+    # Deadline watchdog: a dead accelerator tunnel wedges device->host
+    # fetches forever (no exception, ~0% CPU — observed 2026-08-17 when
+    # the axon relay died mid-session). The whole bench takes ~5-10 min
+    # with a warm compile cache; if we are still running after 30, abort
+    # hard so the caller sees a failure instead of a hang.
+    import sys
+    import threading
+
+    def _deadline():
+        print("bench: 30-minute deadline exceeded (wedged backend?), "
+              "aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    _t = threading.Timer(1800.0, _deadline)
+    _t.daemon = True
+    _t.start()
     try:
         main()
+        _t.cancel()
     except Exception as e:
         import sys
         import traceback
