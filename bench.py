@@ -335,7 +335,8 @@ if __name__ == "__main__":
         sys.stderr.flush()
         os._exit(3)
 
-    _t = threading.Timer(1800.0, _deadline)
+    _t = threading.Timer(
+        float(os.environ.get("PAIG_BENCH_DEADLINE", "1800")), _deadline)
     _t.daemon = True
     _t.start()
     try:
