@@ -143,6 +143,22 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[extension] First epoch --fit_physics_every "
                              "may fire (the fit needs a discovered "
                              "encoder)")
+    parser.add_argument("--auto_rescue", type=int, default=0,
+                        help="[extension] In-training slot-rescue surgery:"
+                             " if a valid eval at epoch >= N still has "
+                             "recons above --rescue_recons, reset dead "
+                             "(or all-ballooned) slots to disk priors, "
+                             "pin the background to the train-split "
+                             "median and freeze it, and continue (the "
+                             "in-place tools/slot_rescue.py pipeline; "
+                             "0 = off)")
+    parser.add_argument("--rescue_recons", type=float, default=3.0,
+                        help="[extension] Valid recons above which "
+                             "--auto_rescue considers discovery stalled")
+    parser.add_argument("--rescue_disk_radius", type=float, default=0.0,
+                        help="[extension] Template-disk radius installed "
+                             "by --auto_rescue (template px; 0 = auto: "
+                             "9 for >=64px tasks, else 3)")
     def _positive_int(v):
         iv = int(v)
         if iv < 1:
@@ -334,6 +350,9 @@ def main(argv=None):
                                 bg_lr_mult=args.bg_lr_mult)
         trainer.fit_physics_every = args.fit_physics_every
         trainer.fit_physics_after = args.fit_physics_after
+        trainer.auto_rescue = args.auto_rescue
+        trainer.rescue_recons = args.rescue_recons
+        trainer.rescue_disk_radius = args.rescue_disk_radius
         if args.aux_on_recons > 0:
             trainer.set_aux_trigger(args.aux_on_recons)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,

@@ -100,6 +100,20 @@ class Trainer:
         # (--fit_physics_after — the fit needs a discovered encoder).
         self.fit_physics_every = 0
         self.fit_physics_after = 0
+        # In-training slot-rescue surgery (--auto_rescue): if a valid
+        # eval at epoch >= auto_rescue still has recons above
+        # rescue_recons, discovery has stalled in the measured dead-slot
+        # attractor (benchmarks/CONVERGENCE.md) — apply the rescue that
+        # cracked mnist/3bp (train/surgery.py) in-place and continue:
+        # reset dead (or all-ballooned) slots to disk priors, pin the
+        # background to the pixelwise train median, freeze it
+        # (bg_lr_mult=0) and re-init the optimizer state. One-shot per
+        # run; persisted in the checkpoint as rescue_step.
+        self.auto_rescue = 0
+        self.rescue_recons = 3.0
+        self.rescue_disk_radius = 0.0
+        self._rescued = False
+        self._rescue_step = -1
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -149,6 +163,12 @@ class Trainer:
                                        anneal_lr)
         assert self.params is not None, "init_params before build_optimizer"
         self.aux_warmup_steps = aux_warmup_epochs * steps_per_epoch
+        # Kept for mid-run optimizer rebuilds (--auto_rescue freezes the
+        # background by rebuilding with bg_lr_mult=0).
+        self._opt_args = dict(optimizer=optimizer, epochs=epochs,
+                              steps_per_epoch=steps_per_epoch,
+                              physics_lr_mult=physics_lr_mult,
+                              grad_clip=grad_clip)
         self.tx = opt_lib.build_optimizer(optimizer, schedule, self.params,
                                           physics_lr_mult=physics_lr_mult,
                                           grad_clip=grad_clip,
@@ -312,11 +332,26 @@ class Trainer:
                       "step": jnp.asarray(self.step),
                       # -1 = trigger not fired (also the value partial
                       # restore keeps for pre-trigger-era checkpoints)
-                      "aux_trigger_step": jnp.asarray(-1)}
+                      "aux_trigger_step": jnp.asarray(-1),
+                      "rescue_step": jnp.asarray(-1)}
             restored = restore_checkpoint(restore_dir, target)
             self.params = restored["params"]
             self.opt_state = restored["opt_state"]
             self.step = int(restored["step"])
+            resc = int(restored["rescue_step"])
+            if resc >= 0:
+                # The checkpoint was produced after an --auto_rescue
+                # surgery: don't re-trigger, and remind the user that the
+                # frozen-background phase is not restored automatically
+                # (the post-rescue polish is usually run all-trainable —
+                # the mnist winner runs/mnist_polish1 — but a resumed
+                # frozen phase needs the flag back).
+                self._rescued = True
+                self._rescue_step = resc
+                logger.info(
+                    "auto_rescue state restored (surgery at step %d); "
+                    "pass --bg_lr_mult=0 to keep the background frozen "
+                    "on this resume", resc)
             trig = int(restored["aux_trigger_step"])
             if self.aux_on_recons > 0 and trig >= 0:
                 # Resumed run had already passed the --aux_on_recons
@@ -333,7 +368,8 @@ class Trainer:
             "params": self.params, "opt_state": self.opt_state,
             "step": jnp.asarray(self.step),
             "aux_trigger_step": jnp.asarray(
-                self.aux_warmup_steps if self._aux_triggered else -1)})
+                self.aux_warmup_steps if self._aux_triggered else -1),
+            "rescue_step": jnp.asarray(self._rescue_step)})
 
     # ----- logging ----------------------------------------------------------
     def add_train_logger(self):
@@ -391,13 +427,20 @@ class Trainer:
                      is not None
                      and self.train_iterator.num_examples >= batch_size
                      and batch_size % self.mesh.shape["data"] == 0)
-        if use_fused and self._train_u8 is None:
+        def ensure_train_u8():
             # Upload the whole train split once, as uint8 (4x smaller
             # than f32), replicated across the mesh (multi-host safe).
-            self._train_u8 = global_batch(
-                self.train_iterator.raw_uint8,
-                jax.sharding.NamedSharding(self.mesh,
-                                           jax.sharding.PartitionSpec()))
+            # Lazy + re-entrant: a mid-run optimizer rebuild
+            # (--auto_rescue) recompiles the step functions and drops the
+            # device-resident split; the next chunk re-uploads it.
+            if self._train_u8 is None:
+                self._train_u8 = global_batch(
+                    self.train_iterator.raw_uint8,
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+
+        if use_fused:
+            ensure_train_u8()
 
         native = None
         raw = getattr(self.train_iterator, "raw_uint8", None)
@@ -470,6 +513,7 @@ class Trainer:
                     self.step = step
                     continue
                 if use_fused:
+                    ensure_train_u8()
                     idxs = self.train_iterator.next_index_batches(
                         batch_size, chunk_k).astype(np.int32)
                     idxs_d = global_batch(idxs, idx_sharding)
@@ -522,6 +566,14 @@ class Trainer:
                     batch_size, type="valid")
                 log_metrics(logger, "valid - epoch=%s" % ep,
                             valid_metrics_results)
+                if (self.auto_rescue > 0 and not self._rescued
+                        and ep >= self.auto_rescue
+                        and float(valid_metrics_results
+                                  ["eval_recons_loss"])
+                        > self.rescue_recons):
+                    self._do_auto_rescue(
+                        ep, float(valid_metrics_results
+                                  ["eval_recons_loss"]))
                 if (self.aux_on_recons > 0 and not self._aux_triggered
                         and float(valid_metrics_results
                                   ["eval_recons_loss"])
@@ -581,6 +633,70 @@ class Trainer:
                     test_metrics_results)
         self.flush_artifacts()
         return test_metrics_results
+
+    def _do_auto_rescue(self, ep, recons):
+        """In-training slot-rescue surgery (--auto_rescue): the in-place
+        version of tools/slot_rescue.py + a frozen-background resume,
+        folded into one run. Fires at most once, at the first valid eval
+        with epoch >= auto_rescue whose recons is still above
+        rescue_recons — the measured signature of the dead-slot /
+        background-absorption attractor every hard task landed in
+        (benchmarks/CONVERGENCE.md; the reference has no recovery path,
+        nn/network/physics_models.py).
+
+        Surgery (train/surgery.py, exact final-bias installs):
+        * slots with < 25% of the healthiest slot's visible template
+          mass are dead -> reset to centered-disk templates + mid-gray
+          contents (the mnist rescue). If NO slot reads dead but recons
+          is stuck, the templates have ballooned into background duty
+          (the 3bp failure) -> reset ALL slots.
+        * the background is pinned to the pixelwise median of the train
+          split (exact for these static-background datasets) and FROZEN
+          by rebuilding the optimizer with bg_lr_mult=0, so undiscovered
+          objects are the only residual left for the rescued slots.
+        * the optimizer state is re-initialized: stale curvature moments
+          for surgically edited layers point the wrong way (same
+          rationale as the tool; the LR schedule restarts with it).
+        """
+        from paig_reproduction_tpu.train import surgery
+        m = self.model
+        host = jax.tree.map(np.asarray, self.params)
+        health = surgery.slot_health(host, m.n_objs, m.tmpl_size,
+                                     template_init=m.template_init)
+        dead = [i for i in range(m.n_objs)
+                if health[i] < 0.25 * max(float(health.max()), 1.0)]
+        slots = dead if dead else list(range(m.n_objs))
+        radius = self.rescue_disk_radius or (
+            9.0 if m.img_size >= 64 else 3.0)
+        for s in slots:
+            host = surgery.rescue_slot(host, s, m.n_objs, m.tmpl_size,
+                                       m.conv_ch, radius=radius,
+                                       template_init=m.template_init)
+        raw = getattr(self.train_iterator, "raw_uint8", None)
+        frames = raw if raw is not None else self.train_iterator.X
+        host = surgery.set_background(host,
+                                      surgery.median_background(frames))
+        self.params = host
+        self._rescued = True
+        self._rescue_step = self.step
+        logger.info(
+            "auto_rescue: epoch %d valid recons %.3f > %.3f — slot "
+            "health %s; reset slot(s) %s to disk priors (r=%.1f), "
+            "pinned the median background and froze it (bg_lr_mult=0), "
+            "optimizer state re-initialized", ep, recons,
+            self.rescue_recons, [int(v) for v in health], slots, radius)
+        a = self._opt_args
+        schedule = opt_lib.lr_schedule(self.base_lr, a["epochs"],
+                                       a["steps_per_epoch"],
+                                       self.anneal_lr)
+        self.tx = opt_lib.build_optimizer(
+            a["optimizer"], schedule, host,
+            physics_lr_mult=a["physics_lr_mult"],
+            grad_clip=a["grad_clip"], bg_lr_mult=0.0)
+        self.opt_state = self.tx.init(host)
+        # Recompile the step functions against the new optimizer; the
+        # device-resident splits re-upload lazily on next use.
+        self._compile_steps()
 
     def _identify_physics(self, batch_size):
         """Train-time closed-form physics re-identification

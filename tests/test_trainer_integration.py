@@ -146,3 +146,61 @@ def test_resume_from_checkpoint(tiny_spring_data, tmp_path):
     # resume: must not wipe the dir, must load the checkpoint
     main(common + ["--epochs=1", "--use_ckpt"])
     assert os.path.exists(os.path.join(save_dir, "log.txt"))
+
+
+def test_auto_rescue_in_training(tiny_spring_data, tmp_path):
+    """--auto_rescue: a stalled-discovery eval triggers in-place slot
+    surgery (disk templates + pinned median background), freezes the
+    background (bg_lr_mult=0 rebuild) and training continues. The
+    installed background must survive the remaining epochs EXACTLY
+    (frozen), the surgery must be one-shot, and the rescue marker must
+    persist in the checkpoint."""
+    from paig_reproduction_tpu.cli import main
+    from paig_reproduction_tpu.train import surgery
+    from paig_reproduction_tpu.train.checkpoint import CKPT_NAME
+
+    save_dir = str(tmp_path / "rescue")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    main([
+        "--task=spring_color", "--epochs=3", "--batch_size=8",
+        "--save_dir", save_dir, "--base_lr=3e-4", "--optimizer=rmsprop",
+        "--autoencoder_loss=3.0", "--color", "--save_every_n_epochs=3",
+        "--eval_every_n_epochs=1", "--print_interval=1",
+        "--data_dir", tiny_spring_data, "--debug",
+        # 2 untrained epochs always sit above recons 3.0 -> fires at ep 1
+        "--auto_rescue=1",
+    ])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert log.count("auto_rescue: epoch") == 1      # one-shot
+    # training continued post-surgery (epochs 2-3 logged train lines
+    # after the rescue line)
+    rescue_pos = log.index("auto_rescue: epoch")
+    assert "train - iter=" in log[rescue_pos:]
+
+    import orbax.checkpoint as ocp
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(os.path.join(save_dir, CKPT_NAME)))
+    assert int(np.asarray(restored["rescue_step"])) >= 0
+    # The pinned background is the pixelwise train-split median and is
+    # FROZEN: two post-surgery epochs must not have moved it (the
+    # bg_lr_mult=0 optimizer branch zeroes its updates).
+    bg_logits = surgery.var_net_forward(restored["params"],
+                                        "var_net_background")
+    bg = 1.0 / (1.0 + np.exp(-bg_logits))
+    with np.load(os.path.join(
+            tiny_spring_data, "spring_color",
+            "color_spring_vx8_vy8_sl12_r2_k4_e6.npz")) as d:
+        med = surgery.median_background(d["train_x"])
+    np.testing.assert_allclose(bg.reshape(med.shape), med, atol=2e-2)
+    # resumed runs restore the marker instead of re-triggering
+    main([
+        "--task=spring_color", "--epochs=1", "--batch_size=8",
+        "--save_dir", save_dir, "--base_lr=3e-4",
+        "--autoencoder_loss=3.0", "--color", "--save_every_n_epochs=1",
+        "--eval_every_n_epochs=1", "--print_interval=1",
+        "--data_dir", tiny_spring_data, "--debug", "--use_ckpt",
+        "--auto_rescue=1",
+    ])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "auto_rescue state restored" in log
+    assert log.count("auto_rescue: epoch") == 1
