@@ -75,7 +75,8 @@ class Trainer:
 
     def __init__(self, model: PhysicsNet, mesh=None, seed: int = 0,
                  profile_dir: str = "", fused_input: bool = True,
-                 native_loader: bool = False):
+                 native_loader: bool = False,
+                 state_fit_eval_only: bool = False):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
@@ -85,6 +86,12 @@ class Trainer:
         self.fused_input = fused_input
         # C++ prefetching batcher for the host path (native/paig_data.cpp)
         self.native_loader = native_loader
+        # --state_fit_eval_only: compile the TRAIN step from a clone with
+        # init_state_fit=0 (the GN fit is an inference-time enhancer —
+        # its per-step linearized rollouts multiply train-step cost for
+        # no training benefit) while eval/test graphs keep the fit, so a
+        # single command still scores with it.
+        self.state_fit_eval_only = state_fit_eval_only
         # Steps before the extension losses activate (--aux_warmup_epochs)
         self.aux_warmup_steps = 0
         # Discovery trigger (--aux_on_recons): when > 0, the aux losses
@@ -200,17 +207,30 @@ class Trainer:
         self.opt_state = jax.device_put(
             self.opt_state, opt_state_shardings(self.opt_state, self.mesh))
 
-        def loss_fn(params, batch, aux_scale=1.0):
-            out, aux = model.apply({"params": params}, batch)
-            train_loss, eval_losses = compute_losses(
-                model, batch, out, aux["recons_out"],
-                aux.get("center_penalty"),
-                aux.get("vel_anchor_penalty"),
-                aux.get("coarse_pred_loss"),
-                aux.get("pos_consistency_loss"),
-                aux.get("attn_overlap_penalty"),
-                aux_scale=aux_scale)
-            return train_loss, eval_losses
+        def make_loss_fn(m):
+            def loss_fn(params, batch, aux_scale=1.0):
+                out, aux = m.apply({"params": params}, batch)
+                train_loss, eval_losses = compute_losses(
+                    m, batch, out, aux["recons_out"],
+                    aux.get("center_penalty"),
+                    aux.get("vel_anchor_penalty"),
+                    aux.get("coarse_pred_loss"),
+                    aux.get("pos_consistency_loss"),
+                    aux.get("attn_overlap_penalty"),
+                    aux_scale=aux_scale)
+                return train_loss, eval_losses
+            return loss_fn
+
+        # Eval/test graphs always honor the full model config; with
+        # --state_fit_eval_only the TRAIN graphs drop the GN initial-state
+        # fit (same params, same losses otherwise — the fit is parameter-
+        # free inference enhancement whose linearized rollouts multiply
+        # train-step cost).
+        loss_fn = make_loss_fn(model)
+        train_loss_fn = (
+            make_loss_fn(model.clone(init_state_fit=0))
+            if self.state_fit_eval_only and model.init_state_fit > 0
+            else loss_fn)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, step, warmup):
@@ -219,7 +239,7 @@ class Trainer:
             # (--aux_on_recons discovery trigger) without a recompile.
             scale = (step >= warmup).astype(jnp.float32)
             (loss, eval_losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, scale)
+                train_loss_fn, has_aux=True)(params, batch, scale)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             metrics = dict(eval_losses, train_loss=loss)
@@ -244,7 +264,7 @@ class Trainer:
                 scale = (step >= warmup).astype(jnp.float32)
                 batch = data_u8[idx].astype(jnp.float32) / 255.0
                 (loss, eval_losses), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(p, batch, scale)
+                    train_loss_fn, has_aux=True)(p, batch, scale)
                 updates, o = tx.update(grads, o, p)
                 p = jax.tree.map(lambda x, u: x + u, p, updates)
                 return (p, o), dict(eval_losses, train_loss=loss)

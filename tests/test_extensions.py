@@ -363,3 +363,53 @@ def test_fit_physics_hook_identifies_spring():
     tr2._identify_physics(batch_size=8)
     assert float(tr2.params["log_k"]) == 0.0
     assert tr2.aux_warmup_steps == 1 << 30
+
+
+def test_state_fit_eval_only_train_graph_drops_fit():
+    """--state_fit_eval_only: the trainer's train step must be numerically
+    identical to a no-fit model's train step (the GN fit is parameter-free
+    inference enhancement), while the eval step keeps the fit (its metrics
+    differ from the no-fit eval)."""
+    from paig_reproduction_tpu.data.iterators import DataIterator
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    def mk_trainer(model, **kw):
+        t = Trainer(model, **kw)
+        x = np.asarray(_inp(3, 4))
+        it = DataIterator(x)
+        t.get_data((it, it, it))
+        t.init_params(x[:1])
+        t.build_optimizer(1e-3, "sgd", anneal_lr=False)
+        return t
+
+    batch = _inp(7, 4)
+    t_fit = mk_trainer(_model(init_state_fit=3), state_fit_eval_only=True)
+    t_plain = mk_trainer(_model())
+    t_fit_full = mk_trainer(_model(init_state_fit=3))
+
+    # eval first: _train_step donates its params/opt_state buffers
+    e_fit = t_fit._eval_step(t_fit.params, batch)
+    e_full = t_fit_full._eval_step(t_fit_full.params, batch)
+    e_plain = t_plain._eval_step(t_plain.params, batch)
+
+    step = jnp.asarray(0, jnp.int32)
+    warm = jnp.asarray(0, jnp.int32)
+    # same seed -> identical initial params across the three trainers
+    _, _, m_fit = t_fit._train_step(t_fit.params, t_fit.opt_state,
+                                    batch, step, warm)
+    _, _, m_plain = t_plain._train_step(t_plain.params, t_plain.opt_state,
+                                        batch, step, warm)
+    _, _, m_full = t_fit_full._train_step(
+        t_fit_full.params, t_fit_full.opt_state, batch, step, warm)
+    np.testing.assert_allclose(float(m_fit["train_loss"]),
+                               float(m_plain["train_loss"]), rtol=1e-6)
+    # the full-fit train step is a genuinely different graph
+    assert abs(float(m_full["train_loss"])
+               - float(m_plain["train_loss"])) > 1e-4
+
+    # eval keeps the fit: eval metrics match the full-fit model's eval,
+    # not the plain model's
+    np.testing.assert_allclose(float(e_fit["eval_pred_loss"]),
+                               float(e_full["eval_pred_loss"]), rtol=1e-6)
+    assert abs(float(e_fit["eval_pred_loss"])
+               - float(e_plain["eval_pred_loss"])) > 1e-5
