@@ -173,13 +173,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[extension] Also gate the prediction term "
                              "during --aux_warmup_epochs (pure "
                              "autoencoder discovery phase)")
-    parser.add_argument("--state_fit_eval_only", action="store_true",
-                        help="[extension] Apply --init_state_fit only in "
-                             "eval/test graphs: the train step drops the "
-                             "GN fit (a parameter-free inference "
-                             "enhancer whose linearized rollouts multiply "
-                             "train-step cost), while the SAME command's "
-                             "evals and test phase still score with it")
+    parser.add_argument("--enhancers_eval_only", action="store_true",
+                        help="[extension] Apply the parameter-free "
+                             "inference enhancers (--init_state_fit, "
+                             "--refine_enc_pos, --refine_recons_pos) only "
+                             "in eval/test graphs: the train step drops "
+                             "them (their GN iterations multiply "
+                             "train-step cost for no training benefit), "
+                             "while the SAME command's evals and test "
+                             "phase still score with them — the key to "
+                             "fast single-command recipes")
     parser.add_argument("--init_state_fit", type=int, default=0,
                         help="[extension] Gauss-Newton iterations for the "
                              "dynamics-consistent initial-state fit over "
@@ -344,7 +347,7 @@ def main(argv=None):
         trainer = Trainer(model, mesh=mesh, seed=args.seed,
                           profile_dir=args.profile_dir,
                           native_loader=args.native_loader,
-                          state_fit_eval_only=args.state_fit_eval_only)
+                          enhancers_eval_only=args.enhancers_eval_only)
         trainer.get_data(data_iterators)
         trainer.init_params(data_iterators[0].X[:1])
         steps_per_epoch = max(

@@ -76,7 +76,7 @@ class Trainer:
     def __init__(self, model: PhysicsNet, mesh=None, seed: int = 0,
                  profile_dir: str = "", fused_input: bool = True,
                  native_loader: bool = False,
-                 state_fit_eval_only: bool = False):
+                 enhancers_eval_only: bool = False):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
@@ -86,12 +86,12 @@ class Trainer:
         self.fused_input = fused_input
         # C++ prefetching batcher for the host path (native/paig_data.cpp)
         self.native_loader = native_loader
-        # --state_fit_eval_only: compile the TRAIN step from a clone with
-        # init_state_fit=0 (the GN fit is an inference-time enhancer —
-        # its per-step linearized rollouts multiply train-step cost for
-        # no training benefit) while eval/test graphs keep the fit, so a
-        # single command still scores with it.
-        self.state_fit_eval_only = state_fit_eval_only
+        # --enhancers_eval_only: compile the TRAIN step from a clone with
+        # the parameter-free inference enhancers off (init_state_fit,
+        # refine_enc_pos, refine_recons_pos — their GN iterations multiply
+        # train-step cost for no training benefit) while eval/test graphs
+        # keep them, so a single command still scores with them.
+        self.enhancers_eval_only = enhancers_eval_only
         # Steps before the extension losses activate (--aux_warmup_epochs)
         self.aux_warmup_steps = 0
         # Discovery trigger (--aux_on_recons): when > 0, the aux losses
@@ -222,14 +222,16 @@ class Trainer:
             return loss_fn
 
         # Eval/test graphs always honor the full model config; with
-        # --state_fit_eval_only the TRAIN graphs drop the GN initial-state
-        # fit (same params, same losses otherwise — the fit is parameter-
-        # free inference enhancement whose linearized rollouts multiply
-        # train-step cost).
+        # --enhancers_eval_only the TRAIN graphs drop the parameter-free
+        # inference enhancers (same params, same losses otherwise — their
+        # GN iterations multiply train-step cost).
         loss_fn = make_loss_fn(model)
         train_loss_fn = (
-            make_loss_fn(model.clone(init_state_fit=0))
-            if self.state_fit_eval_only and model.init_state_fit > 0
+            make_loss_fn(model.clone(init_state_fit=0, refine_enc_pos=0,
+                                     refine_recons_pos=0))
+            if self.enhancers_eval_only
+            and (model.init_state_fit > 0 or model.refine_enc_pos > 0
+                 or model.refine_recons_pos > 0)
             else loss_fn)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))

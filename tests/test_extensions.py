@@ -365,8 +365,8 @@ def test_fit_physics_hook_identifies_spring():
     assert tr2.aux_warmup_steps == 1 << 30
 
 
-def test_state_fit_eval_only_train_graph_drops_fit():
-    """--state_fit_eval_only: the trainer's train step must be numerically
+def test_enhancers_eval_only_train_graph_drops_them():
+    """--enhancers_eval_only: the trainer's train step must be numerically
     identical to a no-fit model's train step (the GN fit is parameter-free
     inference enhancement), while the eval step keeps the fit (its metrics
     differ from the no-fit eval)."""
@@ -383,9 +383,10 @@ def test_state_fit_eval_only_train_graph_drops_fit():
         return t
 
     batch = _inp(7, 4)
-    t_fit = mk_trainer(_model(init_state_fit=3), state_fit_eval_only=True)
+    t_fit = mk_trainer(_model(init_state_fit=3, refine_enc_pos=2),
+                       enhancers_eval_only=True)
     t_plain = mk_trainer(_model())
-    t_fit_full = mk_trainer(_model(init_state_fit=3))
+    t_fit_full = mk_trainer(_model(init_state_fit=3, refine_enc_pos=2))
 
     # eval first: _train_step donates its params/opt_state buffers
     e_fit = t_fit._eval_step(t_fit.params, batch)
