@@ -171,6 +171,24 @@ def slot_health(params: Dict, n_objs: int, tmpl_size: int,
     return (t > 1.0).sum(axis=(1, 2)).astype(np.float64)
 
 
+def select_dead_slots(health: np.ndarray,
+                      dead_frac: float = 0.25) -> list:
+    """Which slots to rescue given ``slot_health`` output.
+
+    A slot is dead when its visible template mass is under ``dead_frac``
+    of the healthiest slot's (measured mnist failure: one crisp digit,
+    one slot at ~zero mass). When NO slot reads dead but the caller still
+    decided discovery stalled, the templates have typically ballooned
+    into background duty (the measured 3bp failure) — reset ALL slots.
+    Shared by the in-training --auto_rescue hook and available to the
+    offline tool."""
+    health = np.asarray(health, np.float64)
+    n = health.shape[0]
+    dead = [i for i in range(n)
+            if health[i] < dead_frac * max(float(health.max()), 1.0)]
+    return dead if dead else list(range(n))
+
+
 def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,
                 conv_ch: int, radius: float = 9.0,
                 content_rgb: Sequence[float] = (0.5, 0.5, 0.5),

@@ -194,7 +194,7 @@ class Trainer:
         if self.aux_on_recons > 0:
             self.aux_warmup_steps = 1 << 30
 
-    def _compile_steps(self):
+    def _compile_steps(self, preserve_data: bool = False):
         model, tx = self.model, self.tx
         b_shard = batch_sharding(self.mesh)
         p_shard = param_shardings(self.params, self.mesh)
@@ -323,6 +323,16 @@ class Trainer:
         self._eval_chunk = with_mesh(eval_chunk)
         self._forward = with_mesh(forward)
         self._forward_extras = with_mesh(jax.jit(forward_extras))
+        if preserve_data:
+            # Mid-run rebuild (--auto_rescue): the mesh is unchanged, so
+            # the device-resident uint8 splits stay valid, and an
+            # in-flight outputs.npz writer keeps its handle.
+            return
+        # An in-flight npz writer must not be orphaned: a later eval
+        # would see _npz_thread None, skip the join, and race a second
+        # writer onto the same outputs.npz path.
+        if getattr(self, "_npz_thread", None) is not None:
+            self._npz_thread.join()
         self._train_u8 = None   # device-resident train split (lazy)
         self._eval_u8 = {}      # device-resident eval splits (lazy)
         self._npz_thread = None
@@ -588,6 +598,7 @@ class Trainer:
                     batch_size, type="valid")
                 log_metrics(logger, "valid - epoch=%s" % ep,
                             valid_metrics_results)
+                rescued_now = False
                 if (self.auto_rescue > 0 and not self._rescued
                         and ep >= self.auto_rescue
                         and float(valid_metrics_results
@@ -596,7 +607,13 @@ class Trainer:
                     self._do_auto_rescue(
                         ep, float(valid_metrics_results
                                   ["eval_recons_loss"]))
-                if (self.aux_on_recons > 0 and not self._aux_triggered
+                    rescued_now = True
+                # The aux trigger must not read the PRE-surgery recons in
+                # the eval that just fired a rescue: the reset model's
+                # recons is far above threshold again, and arming the
+                # alignment losses on it is the documented collapse mode.
+                if (not rescued_now
+                        and self.aux_on_recons > 0 and not self._aux_triggered
                         and float(valid_metrics_results
                                   ["eval_recons_loss"])
                         < self.aux_on_recons):
@@ -681,13 +698,21 @@ class Trainer:
           rationale as the tool; the LR schedule restarts with it).
         """
         from paig_reproduction_tpu.train import surgery
+        if jax.process_count() > 1:
+            # Host-side surgery needs fully-addressable params; gathering
+            # sharded leaves across processes is not wired up. The
+            # offline tool covers this case between runs.
+            logger.warning(
+                "auto_rescue: skipped on multi-process runs (params are "
+                "not fully addressable); use tools/slot_rescue.py "
+                "between runs instead")
+            self._rescued = True
+            return
         m = self.model
         host = jax.tree.map(np.asarray, self.params)
         health = surgery.slot_health(host, m.n_objs, m.tmpl_size,
                                      template_init=m.template_init)
-        dead = [i for i in range(m.n_objs)
-                if health[i] < 0.25 * max(float(health.max()), 1.0)]
-        slots = dead if dead else list(range(m.n_objs))
+        slots = surgery.select_dead_slots(health)
         radius = self.rescue_disk_radius or (
             9.0 if m.img_size >= 64 else 3.0)
         for s in slots:
@@ -708,7 +733,11 @@ class Trainer:
             "optimizer state re-initialized", ep, recons,
             self.rescue_recons, [int(v) for v in health], slots, radius)
         a = self._opt_args
-        schedule = opt_lib.lr_schedule(self.base_lr, a["epochs"],
+        # The rebuilt schedule's internal count restarts at 0, so size it
+        # to the REMAINING epochs — sizing it to the original horizon
+        # would leave an --anneal_lr run ending at a mid-schedule LR.
+        schedule = opt_lib.lr_schedule(self.base_lr,
+                                       max(1, a["epochs"] - ep),
                                        a["steps_per_epoch"],
                                        self.anneal_lr)
         self.tx = opt_lib.build_optimizer(
@@ -716,9 +745,10 @@ class Trainer:
             physics_lr_mult=a["physics_lr_mult"],
             grad_clip=a["grad_clip"], bg_lr_mult=0.0)
         self.opt_state = self.tx.init(host)
-        # Recompile the step functions against the new optimizer; the
-        # device-resident splits re-upload lazily on next use.
-        self._compile_steps()
+        # Recompile the step functions against the new optimizer. The
+        # mesh is unchanged: keep the device-resident splits and any
+        # in-flight npz writer (preserve_data).
+        self._compile_steps(preserve_data=True)
 
     def _identify_physics(self, batch_size):
         """Train-time closed-form physics re-identification

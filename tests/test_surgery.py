@@ -65,3 +65,12 @@ def test_rescue_slot_installs_effective_disk_under_prior():
         eff[1], surgery.disk_template_logits(tmpl, 2.5), atol=1e-4)
     # rescued slot reads healthy under the same prior
     assert surgery.slot_health(p, n_objs, tmpl, template_init=ti)[1] > 0
+
+
+def test_select_dead_slots_policy():
+    # one starved slot -> just that slot
+    assert surgery.select_dead_slots(np.array([50.0, 3.0])) == [1]
+    # all healthy but caller says stalled -> ballooned case, reset all
+    assert surgery.select_dead_slots(np.array([40.0, 55.0])) == [0, 1]
+    # all-zero health (fully dead) -> all slots
+    assert surgery.select_dead_slots(np.zeros(3)) == [0, 1, 2]
