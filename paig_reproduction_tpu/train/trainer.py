@@ -454,7 +454,19 @@ class Trainer:
             log_metrics(logger, "valid - epoch=%s" % 0,
                         valid_metrics_results)
 
-        use_fused = (self.fused_input
+        # Fused whole-chunk dispatch exists to amortize the accelerator
+        # tunnel's per-dispatch latency. On the CPU backend the chunked
+        # TRAIN executable is pathologically slow (measured 2026-08-18 on
+        # spring_color B=100: >470 s for a K=1 chunk vs ~5 s for the
+        # plain per-step jit — XLA:CPU handles the fwd+bwd scan body far
+        # worse than the same body as a top-level computation), so
+        # default to per-step dispatch there. PAIG_FUSED=1/0 overrides
+        # either way (tests pin =1 to keep the fused path covered on the
+        # emulated CPU mesh, where tiny shapes stay fast).
+        fused_env = os.environ.get("PAIG_FUSED")
+        fused_backend = (fused_env == "1" if fused_env is not None
+                         else jax.default_backend() != "cpu")
+        use_fused = (self.fused_input and fused_backend
                      and getattr(self.train_iterator, "raw_uint8", None)
                      is not None
                      and self.train_iterator.num_examples >= batch_size

@@ -8,6 +8,12 @@ import os
 
 # Must be set before jax is imported anywhere in the test process.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The CPU backend defaults to per-step dispatch (trainer.py: fused chunks
+# only amortize accelerator-tunnel latency and the chunked TRAIN graph is
+# pathologically slow under XLA:CPU at real sizes). Tiny test shapes stay
+# fast either way — pin the fused path ON so the chunked train/eval graphs
+# keep their coverage on the emulated mesh.
+os.environ.setdefault("PAIG_FUSED", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

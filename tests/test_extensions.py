@@ -414,3 +414,48 @@ def test_enhancers_eval_only_train_graph_drops_them():
                                float(e_full["eval_pred_loss"]), rtol=1e-6)
     assert abs(float(e_fit["eval_pred_loss"])
                - float(e_plain["eval_pred_loss"])) > 1e-5
+
+
+def test_cpu_backend_defaults_to_per_step_dispatch(monkeypatch, tmp_path):
+    """Fused whole-chunk dispatch amortizes accelerator-tunnel latency;
+    under XLA:CPU the chunked TRAIN executable is pathologically slow at
+    real sizes (measured: >470 s for a K=1 B=100 chunk vs ~5 s for the
+    per-step jit), so the trainer must default to per-step dispatch on
+    the cpu backend. PAIG_FUSED=1 (the conftest default for coverage)
+    forces the fused path; unset/0 on cpu -> no device-resident split."""
+    from paig_reproduction_tpu.data.iterators import DataIterator
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    monkeypatch.delenv("PAIG_FUSED", raising=False)
+    model = _model()
+    t = Trainer(model)
+    x = np.asarray(_inp(5, 8))
+    it = DataIterator(x)
+    # attach the uint8 original (get_iterators does this for real train
+    # splits) so the backend default is the ONLY fused-path gate
+    it.raw_uint8 = (x * 255).astype(np.uint8)
+    t.get_data((it, it, it))
+    t.init_params(x[:1])
+    t.build_optimizer(1e-3, "sgd", anneal_lr=False)
+    t.initialize_graph(str(tmp_path / "r"), False)
+    # batch_size=8 satisfies every fused-path precondition (divides the
+    # 8-way data mesh axis, <= num_examples) so the backend default is
+    # the only gate under test.
+    t.train_model(epochs=1, batch_size=8, save_every_n_epochs=10,
+                  eval_every_n_epochs=10, print_interval=1, debug=True)
+    assert jax.default_backend() == "cpu"
+    assert t._train_u8 is None        # per-step path: split never uploaded
+
+    monkeypatch.setenv("PAIG_FUSED", "1")
+    t2 = Trainer(_model())
+    it2 = DataIterator(x)
+    # the fused path keys on the uint8 original (get_iterators attaches
+    # it to real train splits)
+    it2.raw_uint8 = (np.asarray(x) * 255).astype(np.uint8)
+    t2.get_data((it2, DataIterator(x), DataIterator(x)))
+    t2.init_params(x[:1])
+    t2.build_optimizer(1e-3, "sgd", anneal_lr=False)
+    t2.initialize_graph(str(tmp_path / "r2"), False)
+    t2.train_model(epochs=1, batch_size=8, save_every_n_epochs=10,
+                   eval_every_n_epochs=10, print_interval=1, debug=True)
+    assert t2._train_u8 is not None   # fused path: split device-resident
