@@ -248,6 +248,26 @@ def main():
     }))
 
 
+def stale_fallback_line(stale_path=None):
+    """JSON line for an unreachable accelerator: the last committed
+    host-fetch-synced on-chip measurement, explicitly flagged stale with
+    its provenance, so the caller records an honest number instead of
+    nothing. Returns None when no fallback file exists."""
+    if stale_path is None:
+        stale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "last_tpu_bench.json")
+    if not os.path.exists(stale_path):
+        return None
+    with open(stale_path) as f:
+        stale = json.load(f)
+    stale["stale"] = True
+    stale["note"] = ("accelerator backend unreachable at bench time "
+                     "(probe matmul failed); value is the last "
+                     "host-fetch-synced on-chip measurement — see "
+                     "benchmarks/MFU_AUDIT.md")
+    return json.dumps(stale)
+
+
 def _e2e_throughput(model, B, T):
     """Wall-clock frames/sec of (a) one real training epoch through
     Trainer.train_model (incl. host prep, logging, artifact writes) and
@@ -349,17 +369,9 @@ if __name__ == "__main__":
             return False
 
     if os.environ.get("PAIG_BENCH_NO_PROBE") != "1" and not _backend_alive():
-        stale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "benchmarks", "last_tpu_bench.json")
-        if os.path.exists(stale_path):
-            with open(stale_path) as f:
-                stale = json.load(f)
-            stale["stale"] = True
-            stale["note"] = ("accelerator backend unreachable at bench "
-                             "time (probe matmul failed); value is the "
-                             "last host-fetch-synced on-chip measurement "
-                             "— see benchmarks/MFU_AUDIT.md")
-            print(json.dumps(stale))
+        line = stale_fallback_line()
+        if line is not None:
+            print(line)
             sys.exit(0)
         print("bench: backend unreachable and no stale fallback",
               file=sys.stderr)
