@@ -432,20 +432,31 @@ class PhysicsNet(nn.Module):
                 # backward (see ops/cells.clip_cotangent).
                 p_phys = cells.clip_cotangent(p_phys)
                 v = cells.clip_cotangent(v)
-                p_enc = p_phys - frame_off
-                frame, _ = st_decode(assets, p_enc, cfg,
-                                     backend=self._backend)
-                return (p_phys, v), (frame,
-                                     jnp.concatenate([p_enc, v], axis=1))
+                return (p_phys, v), (p_phys, v)
 
-            (_, _), (output_seq, pos_vel_roll) = jax.lax.scan(
+            # The scan carries only the (tiny) physics state; frames are
+            # decoded OUTSIDE the scan in one batched st_decode over all
+            # B*T rollout positions. Per-step decodes inside the scan body
+            # are B=100-sized ops that underfill the MXU and pay per-step
+            # dispatch; one [B*T, ...] decode is the same math (the decoder
+            # has no cross-sample reductions) at far better utilization.
+            # B stays the major axis of the flatten so GSPMD keeps the
+            # data-sharded batch dim sharded (same layout contract as the
+            # encoder's frame flattening above).
+            (_, _), (pos_roll, vel_roll) = jax.lax.scan(
                 body, (pos_phys0, vel0), None, length=n_steps)
-            # scan stacks on axis 0 (time): -> [B, T, ...]
-            output_seq = jnp.moveaxis(output_seq, 0, 1)
+            # scan stacks on axis 0 (time) -> [T, B, k]; make B major.
+            pos_roll = jnp.moveaxis(pos_roll, 0, 1)     # [B, T, k]
+            vel_roll = jnp.moveaxis(vel_roll, 0, 1)
+            p_enc_roll = pos_roll - frame_off
+            frames_flat, _ = st_decode(
+                assets, p_enc_roll.reshape(b * n_steps, -1), cfg,
+                backend=self._backend)
+            output_seq = frames_flat.reshape(b, n_steps, img, img, ch)
             pos_vel_seq = jnp.concatenate(
                 [jnp.concatenate([pos_phys0 - frame_off, vel0],
                                  axis=1)[:, None],
-                 jnp.moveaxis(pos_vel_roll, 0, 1)], axis=1)
+                 jnp.concatenate([p_enc_roll, vel_roll], axis=2)], axis=1)
 
         # Template-centering penalty (see class docstring field note):
         # squared distance between each template mask's centroid and the

@@ -28,9 +28,12 @@ run() {  # run <save_dir> <args...>
 }
 
 # 1. spring_color — the north-star single-command run.
-run spring_one3 --task=spring_color --epochs=1000 --batch_size=100 \
+#    v3 (no auto_rescue) stalled in the dead-slot attractor: recons flat
+#    at 9.4 from ep100-156 (runs/spring_one3/log.txt) — the exact
+#    signature --auto_rescue exists for. v4 arms it like the hard tasks.
+run spring_one4 --task=spring_color --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
-  --aux_on_recons=3.5 --fit_physics_every=25 \
+  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --save_every_n_epochs=50
@@ -67,7 +70,7 @@ run bounce_one1 --task=bouncing_balls --epochs=800 --batch_size=100 \
 wait_for "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz" && \
 run half_one1 --task=spring_color_half --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
-  --aux_on_recons=3.5 --fit_physics_every=25 \
+  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --save_every_n_epochs=50
