@@ -321,6 +321,12 @@ def _e2e_throughput(model, B, T):
                             eval_every_n_epochs=10 ** 6,
                             print_interval=10, debug=True)
         e2e_fps = trainer.last_train_fps
+        # Warm up the eval graph's compile outside the clock (the train
+        # warmup above never evals, so without this the first — and only
+        # — timed eval pays the full XLA compile, ~2 min through the
+        # tunnel: the r3 eval_fps=45 artifact).
+        trainer.eval_performance(B, type="valid")
+        trainer.flush_artifacts()
         # Eval pass timed separately, incl. the outputs.npz dump the
         # reference also writes every eval (base.py:212-214): the writer
         # runs on a thread off the metric path, so flush_artifacts() both
