@@ -30,6 +30,7 @@ matches the reference exactly.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -38,24 +39,53 @@ import numpy as np
 
 SUBSTEPS = 5  # Euler substeps per frame (reference cells.py:35,64,97)
 
-# Global-norm ceiling for cotangents flowing backward through one rollout
-# frame (see clip_cotangent). Generous: legitimate pixel/position-loss
-# cotangents are O(10).
-COTANGENT_LIMIT = 1e3
+# PER-SAMPLE norm ceiling for cotangents flowing backward through one
+# rollout frame (see clip_cotangent). Generous: legitimate pixel/position-
+# loss cotangents are O(10) per sample. Env-overridable ("inf" disables)
+# for ablating the BPTT stabilizers' effect on object discovery.
+#
+# Per-sample, NOT global-norm: the explosion this guards against is
+# per-sequence (near-coincident encoded objects in THAT sequence blow up
+# the spring Jacobian), and a global clip would rescale EVERY sample's
+# gradient by the worst sample's factor. Measured (round-3 bisect,
+# runs/bisect_plain vs runs/probe_psclip): on the plain spring recipe the
+# 1e3 clip never binds in either form — the two runs are bit-identical
+# through 100 epochs — so this is a shape-of-the-failure-mode choice, not
+# a tuning. The plain-recipe discovery stall traced to the FORWARD
+# stabilizers instead (runs/probe_nostab descends where the clamped run
+# is flat; see SPRING_FORCE_CLAMP below).
+COTANGENT_LIMIT = float(os.environ.get("PAIG_COTANGENT_LIMIT", "1e3"))
+# Spring-force clamp bound and sqrt epsilon (see spring_step), same
+# ablation knobs. These change FORWARD numerics (the clamp also zeroes
+# the Jacobian where it saturates): in the round-3 bisect the plain
+# spring recipe with them active sat flat at recons ~17 for 200 epochs
+# (runs/bisect_plain) while the same run with them disabled descended to
+# 12.9 by epoch 100 (runs/probe_nostab) — a single-pair comparison on a
+# seed-sensitive objective, so treated as a lead, not a conclusion.
+SPRING_FORCE_CLAMP = float(os.environ.get("PAIG_SPRING_FORCE_CLAMP",
+                                          "1e3"))
+SPRING_SQRT_EPS = float(os.environ.get("PAIG_SPRING_SQRT_EPS", "1e-8"))
 
 
-def clip_cotangent(x, limit: float = COTANGENT_LIMIT):
-    """Identity in the forward pass; clips the cotangent's global norm in
-    the backward pass.
+def clip_cotangent(x, limit: float = None):
+    """Identity in the forward pass; clips each SAMPLE's cotangent norm
+    (rows of the leading/batch axis) in the backward pass.
 
     Backward through the rollout multiplies per-substep Jacobians whose
     norm is unbounded near object collisions (the spring direction term
     scales like 1/(|p0-p1| + 1e-4), reference cells.py:37) — sustained
     near-coincident objects (typical early in training) overflow the
-    cotangents to inf/NaN even though the forward stays finite. Applying
-    this between rollout frames is the classic BPTT gradient clip; it
-    changes no forward numerics and is inactive for healthy gradients.
+    cotangents to inf/NaN even though the forward stays finite (measured:
+    the round-2 pre-stabilizer code NaNs by epoch 25 on the seeded plain
+    spring run). Applying this between rollout frames is BPTT gradient
+    clipping; per-sample so one exploding sequence can never rescale the
+    rest of the batch's gradient (see COTANGENT_LIMIT note). It changes
+    no forward numerics and is inactive for healthy gradients.
     """
+    if limit is None:
+        limit = COTANGENT_LIMIT
+    if not np.isfinite(limit):
+        return x
 
     @jax.custom_vjp
     def f(y):
@@ -65,7 +95,8 @@ def clip_cotangent(x, limit: float = COTANGENT_LIMIT):
         return y, None
 
     def bwd(_, g):
-        nrm = jnp.sqrt(jnp.sum(g * g))
+        axes = tuple(range(1, g.ndim))
+        nrm = jnp.sqrt(jnp.sum(g * g, axis=axes, keepdims=True))
         scale = jnp.minimum(1.0, limit / (nrm + 1e-30))
         return (g * scale,)
 
@@ -134,7 +165,7 @@ def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
         # reference's sqrt(abs(.)) (cells.py:36) never sees a gradient
         # because its training path is broken (SURVEY.md §3.1).
         norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True)
-                        + 1e-8)
+                        + SPRING_SQRT_EPS)
         direction = diff / (norm + 1e-4)
         force = k * (norm - two_equil) * direction   # [B, 2]
         # Force clamp, analogous to the reference gravity cell's norm
@@ -145,7 +176,9 @@ def spring_step(params: CellParams, pos: jnp.ndarray, vel: jnp.ndarray,
         # forces in the task family are O(1e2); the clamp is inactive on
         # physical trajectories and zeroes the Jacobian on explosive
         # ones.
-        force = jnp.clip(force, -1e3, 1e3)
+        if np.isfinite(SPRING_FORCE_CLAMP):
+            force = jnp.clip(force, -SPRING_FORCE_CLAMP,
+                             SPRING_FORCE_CLAMP)
         v = v + h * jnp.stack([-force, force], axis=1)
         p = p + h * v
         return p, v
