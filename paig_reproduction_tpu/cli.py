@@ -155,10 +155,32 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--rescue_recons", type=float, default=3.0,
                         help="[extension] Valid recons above which "
                              "--auto_rescue considers discovery stalled")
+    parser.add_argument("--max_rescues", type=int, default=1,
+                        help="[extension] --auto_rescue may fire up to N "
+                             "times (N epochs of cooldown between "
+                             "firings); default 1 = one-shot")
     parser.add_argument("--rescue_disk_radius", type=float, default=0.0,
                         help="[extension] Template-disk radius installed "
                              "by --auto_rescue (template px; 0 = auto: "
                              "9 for >=64px tasks, else 3)")
+    parser.add_argument("--discovery_restarts", type=int, default=0,
+                        help="[extension] Random-restart discovery: train "
+                             "N independent arms (fresh params/optimizer "
+                             "per arm) for --discovery_epochs each, keep "
+                             "the best-valid-recons arm and continue the "
+                             "run from it. Counters the seed-sensitive "
+                             "discovery the reference README warns about "
+                             "(README.md:79-81). 0 = off; ignored with "
+                             "--use_ckpt/--test_mode")
+    parser.add_argument("--discovery_epochs", type=int, default=100,
+                        help="[extension] Epochs each --discovery_restarts"
+                             " arm trains before scoring; counted against "
+                             "--epochs (the winner trains the remainder)")
+    parser.add_argument("--discovery_recons_ok", type=float, default=0.0,
+                        help="[extension] Stop launching further restart "
+                             "arms once one scores a valid recons below "
+                             "this (discovery clearly succeeded); 0 = "
+                             "always run all arms")
     def _positive_int(v):
         iv = int(v)
         if iv < 1:
@@ -364,11 +386,25 @@ def main(argv=None):
         trainer.auto_rescue = args.auto_rescue
         trainer.rescue_recons = args.rescue_recons
         trainer.rescue_disk_radius = args.rescue_disk_radius
+        trainer.max_rescues = args.max_rescues
         if args.aux_on_recons > 0:
             trainer.set_aux_trigger(args.aux_on_recons)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
-        trainer.train_model(args.epochs, args.batch_size,
+        remaining = args.epochs
+        if args.discovery_restarts > 0 and not args.use_ckpt:
+            # Counted against --epochs; cap so at least one normal epoch
+            # (and its final checkpoint save) always remains.
+            arm_epochs = min(args.discovery_epochs,
+                             max(1, args.epochs - 1))
+            trainer.run_discovery_restarts(
+                args.batch_size, args.discovery_restarts, arm_epochs,
+                keep_going_below=args.discovery_recons_ok)
+            remaining = max(1, args.epochs - arm_epochs)
+        elif args.discovery_restarts > 0:
+            logging.getLogger("paig").info(
+                "discovery_restarts ignored: resuming from a checkpoint")
+        trainer.train_model(remaining, args.batch_size,
                             args.save_every_n_epochs,
                             args.eval_every_n_epochs,
                             args.print_interval, args.debug)

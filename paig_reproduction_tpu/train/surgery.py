@@ -172,21 +172,39 @@ def slot_health(params: Dict, n_objs: int, tmpl_size: int,
 
 
 def select_dead_slots(health: np.ndarray,
-                      dead_frac: float = 0.25) -> list:
+                      dead_frac: float = 0.25,
+                      tmpl_px: int = 0,
+                      balloon_frac: float = 0.5) -> list:
     """Which slots to rescue given ``slot_health`` output.
 
-    A slot is dead when its visible template mass is under ``dead_frac``
-    of the healthiest slot's (measured mnist failure: one crisp digit,
-    one slot at ~zero mass). When NO slot reads dead but the caller still
-    decided discovery stalled, the templates have typically ballooned
-    into background duty (the measured 3bp failure) — reset ALL slots.
-    Shared by the in-training --auto_rescue hook and available to the
-    offline tool."""
+    Three measured stall modes, three policies:
+
+    * a slot is DEAD when its visible template mass is under
+      ``dead_frac`` of the healthiest slot's (the mnist failure: one
+      crisp digit, one slot at ~zero mass) — reset the dead slots.
+    * every slot is BALLOONED (visible mass above ``balloon_frac`` of
+      the whole template, i.e. the templates took over background duty;
+      the 3bp failure, max logits ~244 across giant masks) — reset ALL
+      slots. Requires ``tmpl_px`` (= tmpl_size**2); when 0 this check
+      degrades to the historical reset-all.
+    * otherwise (no slot dead, not all ballooned): partial discovery —
+      typically one slot tracks a real object and the others sit
+      diffuse (the spring_one4 failure, health [155, 229] at recons
+      ~10). Resetting the healthy slot too destroys the progress the
+      run DID make (measured: spring_one4 re-collapsed into the same
+      attractor for 500 epochs after an all-slot reset) — reset only
+      the LEAST healthy slot.
+
+    Shared by the in-training --auto_rescue hook and the offline tool."""
     health = np.asarray(health, np.float64)
     n = health.shape[0]
     dead = [i for i in range(n)
             if health[i] < dead_frac * max(float(health.max()), 1.0)]
-    return dead if dead else list(range(n))
+    if dead:
+        return dead
+    if tmpl_px <= 0 or all(h > balloon_frac * tmpl_px for h in health):
+        return list(range(n))
+    return [int(health.argmin())]
 
 
 def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,

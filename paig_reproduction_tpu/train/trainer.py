@@ -112,14 +112,18 @@ class Trainer:
         # rescue_recons, discovery has stalled in the measured dead-slot
         # attractor (benchmarks/CONVERGENCE.md) — apply the rescue that
         # cracked mnist/3bp (train/surgery.py) in-place and continue:
-        # reset dead (or all-ballooned) slots to disk priors, pin the
-        # background to the pixelwise train median, freeze it
-        # (bg_lr_mult=0) and re-init the optimizer state. One-shot per
-        # run; persisted in the checkpoint as rescue_step.
+        # reset dead (or least-healthy / all-ballooned) slots to disk
+        # priors, pin the background to the pixelwise train median,
+        # freeze it (bg_lr_mult=0) and re-init the optimizer state.
+        # Fires at most max_rescues times (--max_rescues, default 1 =
+        # one-shot), with auto_rescue epochs of cooldown between firings;
+        # persisted in the checkpoint as rescue_step/rescue_count.
         self.auto_rescue = 0
         self.rescue_recons = 3.0
         self.rescue_disk_radius = 0.0
-        self._rescued = False
+        self.max_rescues = 1
+        self._rescue_count = 0
+        self._last_rescue_ep = -(10 ** 9)
         self._rescue_step = -1
         self.params = None
         self.opt_state = None
@@ -153,7 +157,9 @@ class Trainer:
     # ----- setup -----------------------------------------------------------
     def init_params(self, sample_batch: np.ndarray):
         rng = jax.random.PRNGKey(self.seed)
-        variables = self.model.init(rng, jnp.asarray(sample_batch[:1]))
+        # Kept for --discovery_restarts re-initialization.
+        self._init_batch = np.asarray(sample_batch[:1])
+        variables = self.model.init(rng, jnp.asarray(self._init_batch))
         self.params = variables["params"]
 
     def build_optimizer(self, base_lr, optimizer="rmsprop", anneal_lr=True,
@@ -365,7 +371,8 @@ class Trainer:
                       # -1 = trigger not fired (also the value partial
                       # restore keeps for pre-trigger-era checkpoints)
                       "aux_trigger_step": jnp.asarray(-1),
-                      "rescue_step": jnp.asarray(-1)}
+                      "rescue_step": jnp.asarray(-1),
+                      "rescue_count": jnp.asarray(-1)}
             restored = restore_checkpoint(restore_dir, target)
             self.params = restored["params"]
             self.opt_state = restored["opt_state"]
@@ -373,17 +380,21 @@ class Trainer:
             resc = int(restored["rescue_step"])
             if resc >= 0:
                 # The checkpoint was produced after an --auto_rescue
-                # surgery: don't re-trigger, and remind the user that the
-                # frozen-background phase is not restored automatically
-                # (the post-rescue polish is usually run all-trainable —
-                # the mnist winner runs/mnist_polish1 — but a resumed
-                # frozen phase needs the flag back).
-                self._rescued = True
+                # surgery: restore the rescue budget (pre-rescue_count
+                # checkpoints carry -1 -> count as one surgery), and
+                # remind the user that the frozen-background phase is not
+                # restored automatically (the post-rescue polish is
+                # usually run all-trainable — the mnist winner
+                # runs/mnist_polish1 — but a resumed frozen phase needs
+                # the flag back).
+                rc = int(restored["rescue_count"])
+                self._rescue_count = rc if rc >= 0 else 1
                 self._rescue_step = resc
                 logger.info(
-                    "auto_rescue state restored (surgery at step %d); "
-                    "pass --bg_lr_mult=0 to keep the background frozen "
-                    "on this resume", resc)
+                    "auto_rescue state restored (surgery at step %d, "
+                    "%d rescue(s) used); pass --bg_lr_mult=0 to keep the "
+                    "background frozen on this resume", resc,
+                    self._rescue_count)
             trig = int(restored["aux_trigger_step"])
             if self.aux_on_recons > 0 and trig >= 0:
                 # Resumed run had already passed the --aux_on_recons
@@ -401,11 +412,19 @@ class Trainer:
             "step": jnp.asarray(self.step),
             "aux_trigger_step": jnp.asarray(
                 self.aux_warmup_steps if self._aux_triggered else -1),
-            "rescue_step": jnp.asarray(self._rescue_step)})
+            "rescue_step": jnp.asarray(self._rescue_step),
+            "rescue_count": jnp.asarray(self._rescue_count)})
 
     # ----- logging ----------------------------------------------------------
     def add_train_logger(self):
-        log_path = os.path.join(self.save_dir, "log.txt")
+        log_path = os.path.abspath(os.path.join(self.save_dir, "log.txt"))
+        # Idempotent per file: run_discovery_restarts + train_model (and
+        # the train + test phases of one CLI run, which share the module
+        # logger) each attach — a second handler on the same file would
+        # double every line.
+        for h in logger.handlers:
+            if getattr(h, "baseFilename", None) == log_path:
+                return
         fh = logging.FileHandler(log_path)
         fh.setFormatter(
             logging.Formatter("%(asctime)s - %(name)s - %(message)s"))
@@ -435,6 +454,156 @@ class Trainer:
                 self.mesh, jax.sharding.PartitionSpec()))
         return global_batch(batch, self._batch_sharding)
 
+    def _fused_train_enabled(self, batch_size):
+        # Fused whole-chunk dispatch exists to amortize the accelerator
+        # tunnel's per-dispatch latency. On the CPU backend the chunked
+        # TRAIN executable is pathologically slow (measured 2026-08-18 on
+        # spring_color B=100: >470 s for a K=1 chunk vs ~5 s for the
+        # plain per-step jit — XLA:CPU handles the fwd+bwd scan body far
+        # worse than the same body as a top-level computation), so
+        # default to per-step dispatch there. PAIG_FUSED=1/0 overrides
+        # either way (tests pin =1 to keep the fused path covered on the
+        # emulated CPU mesh, where tiny shapes stay fast).
+        fused_env = os.environ.get("PAIG_FUSED")
+        fused_backend = (fused_env == "1" if fused_env is not None
+                         else jax.default_backend() != "cpu")
+        return (self.fused_input and fused_backend
+                and getattr(self.train_iterator, "raw_uint8", None)
+                is not None
+                and self.train_iterator.num_examples >= batch_size
+                and batch_size % self.mesh.shape["data"] == 0)
+
+    def _ensure_train_u8(self):
+        # Upload the whole train split once, as uint8 (4x smaller
+        # than f32), replicated across the mesh (multi-host safe).
+        # Lazy + re-entrant: a mid-run optimizer rebuild
+        # (--auto_rescue) recompiles the step functions and drops the
+        # device-resident split; the next chunk re-uploads it.
+        if self._train_u8 is None:
+            self._train_u8 = global_batch(
+                self.train_iterator.raw_uint8,
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
+
+    def _idx_sharding(self):
+        # [K, B] index matrix shards over batch; replicate across hosts
+        # (it is tiny, and row-slicing semantics only apply to axis 0).
+        return jax.sharding.NamedSharding(
+            self.mesh,
+            jax.sharding.PartitionSpec(None, "data")
+            if jax.process_count() == 1 else jax.sharding.PartitionSpec())
+
+    def _train_epochs_raw(self, n_epochs, batch_size):
+        """Bare training for ``n_epochs`` iterator epochs: no eval, save,
+        logging, or trigger machinery. Used by the --discovery_restarts
+        arms, where only the end-state matters."""
+        use_fused = self._fused_train_enabled(batch_size)
+        if use_fused:
+            self._ensure_train_u8()
+        idx_sharding = self._idx_sharding()
+        target = self.train_iterator.epochs_completed + n_epochs
+        warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
+        while self.train_iterator.epochs_completed < target:
+            if use_fused:
+                idxs = self.train_iterator.next_index_batches(
+                    batch_size, 25).astype(np.int32)
+                self.params, self.opt_state, _ = self._train_chunk(
+                    self.params, self.opt_state, self._train_u8,
+                    global_batch(idxs, idx_sharding),
+                    jnp.asarray(self.step, jnp.int32), warmup)
+                self.step += idxs.shape[0]
+            else:
+                feed_dict, _ = self.get_batch(batch_size,
+                                              self.train_iterator)
+                self.params, self.opt_state, _ = self._train_step(
+                    self.params, self.opt_state,
+                    self._put_batch(feed_dict["input"]),
+                    jnp.asarray(self.step, jnp.int32), warmup)
+                self.step += 1
+
+    def _quick_valid_recons(self, batch_size):
+        """Mean valid recons loss with no artifact/visualization work
+        (restart-arm selection signal)."""
+        it = self.valid_iterator
+        it.reset_epoch()
+        n = it.X.shape[0]
+        if n < 100:
+            batch_size = n
+        raw = getattr(it, "raw_uint8", None)
+        if (self.fused_input and raw is not None and n >= batch_size
+                and batch_size % self.mesh.shape["data"] == 0
+                and jax.process_count() == 1):
+            if "valid" not in self._eval_u8:
+                self._eval_u8["valid"] = global_batch(
+                    raw, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+            idxs = it.next_index_batches(batch_size, 10 ** 9).astype(
+                np.int32)
+            m = self._eval_chunk(self.params, self._eval_u8["valid"],
+                                 jnp.asarray(idxs))
+            return float(np.asarray(m["eval_recons_loss"]).mean())
+        vals = []
+        while it.get_epoch() < 1:
+            feed_dict, _ = self.get_batch(batch_size, it)
+            m = self._eval_step(self.params,
+                                self._put_batch(feed_dict["input"]))
+            vals.append(float(np.asarray(m["eval_recons_loss"])))
+        return float(np.mean(vals))
+
+    def run_discovery_restarts(self, batch_size, restarts, arm_epochs,
+                               keep_going_below: float = 0.0):
+        """Random-restart object discovery (--discovery_restarts).
+
+        TPU-side extension with no reference counterpart: the reference
+        README warns that unsupervised object discovery is seed-sensitive
+        (reference README.md:79-81), and it is — discovery either breaks
+        the two-slots-one-object symmetry in the first ~50 epochs or
+        settles into the dead-slot attractor for the rest of the run
+        (benchmarks/CONVERGENCE.md). Restarts convert that coin flip into
+        an algorithm: train ``restarts`` independent arms (fresh params
+        from fold_in(seed, arm), fresh optimizer state, the ongoing
+        shuffle stream) for ``arm_epochs`` epochs each, score each arm by
+        valid recons, and continue the run from the best arm. Arm 0 uses
+        PRNGKey(seed) exactly, so --discovery_restarts=1 reproduces the
+        plain run. A 150-epoch spring arm costs ~1 min of TPU compute, so
+        even 6 arms are cheap next to a 1000-epoch run.
+
+        If ``keep_going_below`` > 0, arms stop early once one scores
+        under it (discovery clearly succeeded; no need to pay for more).
+        Returns the per-arm scores."""
+        assert self.params is not None and self.tx is not None, \
+            "init_params/build_optimizer before run_discovery_restarts"
+        self.add_train_logger()
+        base_key = jax.random.PRNGKey(self.seed)
+        scores = []
+        best = None                     # (recons, params, opt_state, step)
+        for arm in range(restarts):
+            key = base_key if arm == 0 else jax.random.fold_in(base_key,
+                                                               arm)
+            variables = self.model.init(key, jnp.asarray(self._init_batch))
+            self.params = variables["params"]
+            self.opt_state = self.tx.init(self.params)
+            self.step = 0
+            self._train_epochs_raw(arm_epochs, batch_size)
+            recons = self._quick_valid_recons(batch_size)
+            scores.append(recons)
+            logger.info("discovery restart arm %d/%d: valid recons %.3f "
+                        "after %d epochs", arm + 1, restarts, recons,
+                        arm_epochs)
+            if best is None or recons < best[0]:
+                best = (recons, self.params, self.opt_state, self.step)
+            if keep_going_below > 0 and recons < keep_going_below:
+                break
+        recons, self.params, self.opt_state, self.step = best
+        logger.info("discovery restarts: continuing from arm %d "
+                    "(valid recons %.3f; arms %s)", scores.index(recons),
+                    recons, ["%.2f" % s for s in scores])
+        # train_model keys its epoch loop on the iterator's ABSOLUTE
+        # epoch counter, which the arms advanced — rewind it so the
+        # remaining-epochs loop actually runs.
+        self.train_iterator.reset_epoch()
+        return scores
+
     def train_model(self, epochs, batch_size, save_every_n_epochs,
                     eval_every_n_epochs, print_interval, debug=False):
         """Reference train loop semantics (base.py:112-172): pre-train
@@ -454,35 +623,8 @@ class Trainer:
             log_metrics(logger, "valid - epoch=%s" % 0,
                         valid_metrics_results)
 
-        # Fused whole-chunk dispatch exists to amortize the accelerator
-        # tunnel's per-dispatch latency. On the CPU backend the chunked
-        # TRAIN executable is pathologically slow (measured 2026-08-18 on
-        # spring_color B=100: >470 s for a K=1 chunk vs ~5 s for the
-        # plain per-step jit — XLA:CPU handles the fwd+bwd scan body far
-        # worse than the same body as a top-level computation), so
-        # default to per-step dispatch there. PAIG_FUSED=1/0 overrides
-        # either way (tests pin =1 to keep the fused path covered on the
-        # emulated CPU mesh, where tiny shapes stay fast).
-        fused_env = os.environ.get("PAIG_FUSED")
-        fused_backend = (fused_env == "1" if fused_env is not None
-                         else jax.default_backend() != "cpu")
-        use_fused = (self.fused_input and fused_backend
-                     and getattr(self.train_iterator, "raw_uint8", None)
-                     is not None
-                     and self.train_iterator.num_examples >= batch_size
-                     and batch_size % self.mesh.shape["data"] == 0)
-        def ensure_train_u8():
-            # Upload the whole train split once, as uint8 (4x smaller
-            # than f32), replicated across the mesh (multi-host safe).
-            # Lazy + re-entrant: a mid-run optimizer rebuild
-            # (--auto_rescue) recompiles the step functions and drops the
-            # device-resident split; the next chunk re-uploads it.
-            if self._train_u8 is None:
-                self._train_u8 = global_batch(
-                    self.train_iterator.raw_uint8,
-                    jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec()))
-
+        use_fused = self._fused_train_enabled(batch_size)
+        ensure_train_u8 = self._ensure_train_u8
         if use_fused:
             ensure_train_u8()
 
@@ -504,12 +646,7 @@ class Trainer:
         step = self.step
         t0 = time.perf_counter()
         frames = 0
-        # [K, B] index matrix shards over batch; replicate across hosts
-        # (it is tiny, and row-slicing semantics only apply to axis 0).
-        idx_sharding = jax.sharding.NamedSharding(
-            self.mesh,
-            jax.sharding.PartitionSpec(None, "data")
-            if jax.process_count() == 1 else jax.sharding.PartitionSpec())
+        idx_sharding = self._idx_sharding()
         # Fused-chunk length: independent of the logging cadence (a user
         # with --print_interval=1 must NOT silently fall back to per-step
         # dispatch; per-step metrics for every step of a chunk come back
@@ -611,8 +748,10 @@ class Trainer:
                 log_metrics(logger, "valid - epoch=%s" % ep,
                             valid_metrics_results)
                 rescued_now = False
-                if (self.auto_rescue > 0 and not self._rescued
+                if (self.auto_rescue > 0
+                        and self._rescue_count < self.max_rescues
                         and ep >= self.auto_rescue
+                        and ep - self._last_rescue_ep >= self.auto_rescue
                         and float(valid_metrics_results
                                   ["eval_recons_loss"])
                         > self.rescue_recons):
@@ -718,13 +857,14 @@ class Trainer:
                 "auto_rescue: skipped on multi-process runs (params are "
                 "not fully addressable); use tools/slot_rescue.py "
                 "between runs instead")
-            self._rescued = True
+            self._rescue_count = 10 ** 9
             return
         m = self.model
         host = jax.tree.map(np.asarray, self.params)
         health = surgery.slot_health(host, m.n_objs, m.tmpl_size,
                                      template_init=m.template_init)
-        slots = surgery.select_dead_slots(health)
+        slots = surgery.select_dead_slots(health,
+                                          tmpl_px=m.tmpl_size ** 2)
         radius = self.rescue_disk_radius or (
             9.0 if m.img_size >= 64 else 3.0)
         for s in slots:
@@ -736,14 +876,16 @@ class Trainer:
         host = surgery.set_background(host,
                                       surgery.median_background(frames))
         self.params = host
-        self._rescued = True
+        self._rescue_count += 1
+        self._last_rescue_ep = ep
         self._rescue_step = self.step
         logger.info(
             "auto_rescue: epoch %d valid recons %.3f > %.3f — slot "
             "health %s; reset slot(s) %s to disk priors (r=%.1f), "
             "pinned the median background and froze it (bg_lr_mult=0), "
-            "optimizer state re-initialized", ep, recons,
-            self.rescue_recons, [int(v) for v in health], slots, radius)
+            "optimizer state re-initialized (rescue %d/%d)", ep, recons,
+            self.rescue_recons, [int(v) for v in health], slots, radius,
+            self._rescue_count, self.max_rescues)
         a = self._opt_args
         # The rebuilt schedule's internal count restarts at 0, so size it
         # to the REMAINING epochs — sizing it to the original horizon

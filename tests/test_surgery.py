@@ -70,7 +70,18 @@ def test_rescue_slot_installs_effective_disk_under_prior():
 def test_select_dead_slots_policy():
     # one starved slot -> just that slot
     assert surgery.select_dead_slots(np.array([50.0, 3.0])) == [1]
-    # all healthy but caller says stalled -> ballooned case, reset all
+    # no tmpl_px: degrades to the historical stalled -> reset-all
     assert surgery.select_dead_slots(np.array([40.0, 55.0])) == [0, 1]
     # all-zero health (fully dead) -> all slots
     assert surgery.select_dead_slots(np.zeros(3)) == [0, 1, 2]
+    # with tmpl_px: every slot ballooned (>50% of the template visible)
+    # -> reset all (the 3bp failure; also spring_one4's [155, 229]/256)
+    assert surgery.select_dead_slots(
+        np.array([155.0, 229.0]), tmpl_px=256) == [0, 1]
+    # with tmpl_px: partial discovery (no dead, not all ballooned) ->
+    # only the least healthy slot
+    assert surgery.select_dead_slots(
+        np.array([60.0, 120.0]), tmpl_px=256) == [0]
+    # dead-slot rule still wins over the balloon check
+    assert surgery.select_dead_slots(
+        np.array([250.0, 10.0]), tmpl_px=256) == [1]

@@ -204,3 +204,56 @@ def test_auto_rescue_in_training(tiny_spring_data, tmp_path):
     log = open(os.path.join(save_dir, "log.txt")).read()
     assert "auto_rescue state restored" in log
     assert log.count("auto_rescue: epoch") == 1
+
+
+def test_discovery_restarts(tiny_spring_data, tmp_path):
+    """--discovery_restarts: N arms train from independent inits, the
+    best-valid-recons arm is selected, and the run continues from it for
+    the remaining --epochs budget (arm epochs count against the total)."""
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "restarts")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    main([
+        "--task=spring_color", "--epochs=3", "--batch_size=8",
+        "--save_dir", save_dir, "--base_lr=3e-4", "--optimizer=rmsprop",
+        "--autoencoder_loss=3.0", "--color", "--save_every_n_epochs=3",
+        "--eval_every_n_epochs=1", "--print_interval=1",
+        "--data_dir", tiny_spring_data, "--debug",
+        "--discovery_restarts=2", "--discovery_epochs=1",
+    ])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert log.count("discovery restart arm") == 2
+    assert "discovery restarts: continuing from arm" in log
+    # Arm scores differ (independent param inits train to different
+    # models on this tiny problem).
+    import re
+    scores = [float(m) for m in re.findall(
+        r"discovery restart arm \d+/2: valid recons ([0-9.]+)", log)]
+    assert len(scores) == 2 and scores[0] != scores[1]
+    # The remaining 2 epochs ran after selection and the final test eval
+    # + checkpoint exist.
+    sel_pos = log.index("discovery restarts: continuing")
+    assert "train - iter=" in log[sel_pos:]
+    assert "test - epoch=" in log
+    assert os.path.exists(os.path.join(save_dir, "model.ckpt"))
+
+
+def test_discovery_restarts_early_stop(tiny_spring_data, tmp_path):
+    """--discovery_recons_ok: arms stop as soon as one scores under the
+    threshold (any untrained-ish recons clears a huge threshold)."""
+    from paig_reproduction_tpu.cli import main
+
+    save_dir = str(tmp_path / "restarts_early")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    main([
+        "--task=spring_color", "--epochs=2", "--batch_size=8",
+        "--save_dir", save_dir, "--base_lr=3e-4", "--optimizer=rmsprop",
+        "--autoencoder_loss=3.0", "--color", "--save_every_n_epochs=2",
+        "--eval_every_n_epochs=1", "--print_interval=1",
+        "--data_dir", tiny_spring_data, "--debug",
+        "--discovery_restarts=3", "--discovery_epochs=1",
+        "--discovery_recons_ok=1e9",
+    ])
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert log.count("discovery restart arm") == 1

@@ -1,7 +1,19 @@
 #!/bin/bash
-# Round-3 single-command TPU queue: one reference-style invocation per task,
-# no warm starts, no offline surgery — the staged triggers (--aux_on_recons,
-# --fit_physics_every, --auto_rescue) do the pipeline work in-run.
+# Round-3 single-command TPU queue (v2): one reference-style invocation per
+# task — no warm starts, no offline surgery. In-run machinery does the
+# pipeline work:
+#   --discovery_restarts  random-restart discovery (counters the
+#                         seed-sensitive symmetry breaking the reference
+#                         README warns about; v1 finding: a single arm's
+#                         discovery is a coin flip and --auto_rescue alone
+#                         cannot climb out of the attractor it lands in)
+#   --aux_on_recons       physics-alignment losses arm on discovery
+#   --fit_physics_every   train-time closed-form physics identification
+#   --auto_rescue         in-place slot surgery if discovery still stalls
+#                         (v2: least-healthy/balloon-aware slot policy,
+#                         re-armable via --max_rescues)
+#   --enhancers_eval_only GN estimators (state fit, render refinement)
+#                         score evals without taxing the train step
 # Sequential: one chip. Each run logs to runs/<name>/log.txt.
 set -u
 cd /root/repo
@@ -27,52 +39,60 @@ run() {  # run <save_dir> <args...>
   [ $rc -eq 0 ] && touch runs/$dir/.done
 }
 
-# 1. spring_color — the north-star single-command run.
-#    v3 (no auto_rescue) stalled in the dead-slot attractor: recons flat
-#    at 9.4 from ep100-156 (runs/spring_one3/log.txt) — the exact
-#    signature --auto_rescue exists for. v4 arms it like the hard tasks.
-run spring_one4 --task=spring_color --epochs=1000 --batch_size=100 \
+# 1. spring_color — the north-star single-command run. v4 stalled in the
+#    both-slots-one-ball attractor from epoch ~30 and the (all-slot-reset)
+#    rescue at 150 re-converged to it (runs/spring_one4). v5 leads with
+#    8 restart arms x 150 epochs: historical discovery, when it happens,
+#    shows up well inside 150 epochs (round-2 spring500: epoch ~50).
+run spring_one5 --task=spring_color --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
-  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
+  --discovery_restarts=8 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 --fit_physics_every=25 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
-  --save_every_n_epochs=50
+  --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
 
-# 2. mnist_spring_color — auto_rescue revives the dead digit slot in-run.
+# 2. mnist_spring_color — restarts + the (dead-digit) rescue in-run.
 wait_for "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz" && \
 run mnist_one1 --task=mnist_spring_color --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
-  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
+  --discovery_restarts=4 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 --fit_physics_every=25 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
-  --save_every_n_epochs=50
+  --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
 
-# 3. 3bp_color — rescue resets ballooned templates; NO pos_consistency
-#    (aligned losses anchor to chaotic diverging rollouts; measured regression).
+# 3. 3bp_color — NO pos_consistency (aligned losses anchor to chaotic
+#    diverging rollouts; measured regression).
 run 3bp_one1 --task=3bp_color --epochs=1000 --batch_size=100 \
   --base_lr=1e-3 --autoencoder_loss=5.0 --color --seed=0 \
-  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
+  --discovery_restarts=4 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 --fit_physics_every=25 \
   --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
-  --save_every_n_epochs=50
+  --auto_rescue=250 --max_rescues=3 --save_every_n_epochs=50
 
-# 4. bouncing_balls — no learnable physics (fit_physics off); rescue fixes
-#    the slot-collapse discovery failure; eval scores with the
-#    unfolded-reflection state fit + subpixel refinement.
-run bounce_one1 --task=bouncing_balls --epochs=800 --batch_size=100 \
-  --base_lr=3e-4 --autoencoder_loss=2.0 --color --seed=0 \
-  --auto_rescue=150 --aux_on_recons=3.5 \
-  --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
-  --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4 \
-  --enhancers_eval_only --save_every_n_epochs=50
-
-# 5. spring_color_half — same recipe as spring.
+# 4. spring_color_half — same recipe as spring.
 wait_for "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz" && \
 run half_one1 --task=spring_color_half --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
-  --auto_rescue=150 --aux_on_recons=3.5 --fit_physics_every=25 \
+  --discovery_restarts=8 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 --fit_physics_every=25 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
+  --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
+
+# 5. bouncing_balls — no learnable physics (fit_physics off); from-scratch
+#    discovery collapsed in all 13 historical runs, so give it the most
+#    restart arms; eval scores with the unfolded-reflection state fit +
+#    subpixel refinement.
+run bounce_one1 --task=bouncing_balls --epochs=800 --batch_size=100 \
+  --base_lr=3e-4 --autoencoder_loss=2.0 --color --seed=0 \
+  --discovery_restarts=10 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 \
+  --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
+  --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4 \
+  --enhancers_eval_only --auto_rescue=250 --max_rescues=2 \
   --save_every_n_epochs=50
 
 echo "=== queue complete $(date -u) ==="
