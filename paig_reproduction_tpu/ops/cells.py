@@ -59,9 +59,12 @@ COTANGENT_LIMIT = float(os.environ.get("PAIG_COTANGENT_LIMIT", "1e3"))
 # ablation knobs. These change FORWARD numerics (the clamp also zeroes
 # the Jacobian where it saturates): in the round-3 bisect the plain
 # spring recipe with them active sat flat at recons ~17 for 200 epochs
-# (runs/bisect_plain) while the same run with them disabled descended to
-# 12.9 by epoch 100 (runs/probe_nostab) — a single-pair comparison on a
-# seed-sensitive objective, so treated as a lead, not a conclusion.
+# (runs/bisect_plain) while the same run with them disabled reached
+# 12.9 by epoch 100 — but the 500-epoch extension (runs/probe_nostab500)
+# plateaued at 11.2 with no discovery either, so the stabilizers are
+# NOT the discovery blocker and stay on by default; single-command
+# discovery is solved by the trainer machinery instead
+# (--discovery_restarts + --auto_rescue + staged triggers).
 SPRING_FORCE_CLAMP = float(os.environ.get("PAIG_SPRING_FORCE_CLAMP",
                                           "1e3"))
 SPRING_SQRT_EPS = float(os.environ.get("PAIG_SPRING_SQRT_EPS", "1e-8"))

@@ -125,6 +125,15 @@ class Trainer:
         self._rescue_count = 0
         self._last_rescue_ep = -(10 ** 9)
         self._rescue_step = -1
+        # (epoch, valid recons) per eval — the rescue's stall guard
+        # compares against the eval ~auto_rescue/2 epochs back so a
+        # still-DESCENDING run (late discovery in progress) is never
+        # reset just for being above the threshold at the deadline.
+        self._recons_history = []
+        # Epochs already consumed before train_model's loop (the
+        # --discovery_restarts phase); the rescue's remaining-horizon LR
+        # schedule rebuild must subtract them.
+        self._epochs_consumed = 0
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -205,6 +214,10 @@ class Trainer:
         b_shard = batch_sharding(self.mesh)
         p_shard = param_shardings(self.params, self.mesh)
         self._batch_sharding = b_shard
+        # Kept for --discovery_restarts: arm re-inits must be placed
+        # under the same shardings or the jitted steps recompile (and
+        # tensor-sharded runs would silently train unsharded arms).
+        self._param_shardings = p_shard
 
         # Place params/opt state according to the mesh rules once; optimizer
         # moments shard consistently with their (possibly tensor-sharded)
@@ -390,6 +403,11 @@ class Trainer:
                 rc = int(restored["rescue_count"])
                 self._rescue_count = rc if rc >= 0 else 1
                 self._rescue_step = resc
+                # The surgery epoch is not persisted; enforce the
+                # cooldown conservatively from the resume point (a
+                # resumed run waits a full auto_rescue window before a
+                # further rescue may fire).
+                self._last_rescue_ep = 0
                 logger.info(
                     "auto_rescue state restored (surgery at step %d, "
                     "%d rescue(s) used); pass --bg_lr_mult=0 to keep the "
@@ -501,12 +519,14 @@ class Trainer:
         if use_fused:
             self._ensure_train_u8()
         idx_sharding = self._idx_sharding()
+        chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
+        chunk_k = chunk_env if chunk_env > 0 else 25
         target = self.train_iterator.epochs_completed + n_epochs
         warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
         while self.train_iterator.epochs_completed < target:
             if use_fused:
                 idxs = self.train_iterator.next_index_batches(
-                    batch_size, 25).astype(np.int32)
+                    batch_size, chunk_k).astype(np.int32)
                 self.params, self.opt_state, _ = self._train_chunk(
                     self.params, self.opt_state, self._train_u8,
                     global_batch(idxs, idx_sharding),
@@ -521,6 +541,22 @@ class Trainer:
                     jnp.asarray(self.step, jnp.int32), warmup)
                 self.step += 1
 
+    def _fused_eval_enabled(self, it, batch_size):
+        """One predicate for the fused (device-resident, whole-epoch)
+        eval path, shared by eval_performance and the restart-arm
+        scorer so eligibility can't drift between them."""
+        raw = getattr(it, "raw_uint8", None)
+        n = it.X.shape[0]
+        return (self.fused_input and raw is not None and n >= batch_size
+                and batch_size % self.mesh.shape["data"] == 0
+                and jax.process_count() == 1)
+
+    def _ensure_eval_u8(self, type, raw):
+        if type not in self._eval_u8:
+            self._eval_u8[type] = global_batch(
+                raw, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
+
     def _quick_valid_recons(self, batch_size):
         """Mean valid recons loss with no artifact/visualization work
         (restart-arm selection signal)."""
@@ -530,13 +566,8 @@ class Trainer:
         if n < 100:
             batch_size = n
         raw = getattr(it, "raw_uint8", None)
-        if (self.fused_input and raw is not None and n >= batch_size
-                and batch_size % self.mesh.shape["data"] == 0
-                and jax.process_count() == 1):
-            if "valid" not in self._eval_u8:
-                self._eval_u8["valid"] = global_batch(
-                    raw, jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec()))
+        if self._fused_eval_enabled(it, batch_size):
+            self._ensure_eval_u8("valid", raw)
             idxs = it.next_index_batches(batch_size, 10 ** 9).astype(
                 np.int32)
             m = self._eval_chunk(self.params, self._eval_u8["valid"],
@@ -581,8 +612,14 @@ class Trainer:
             key = base_key if arm == 0 else jax.random.fold_in(base_key,
                                                                arm)
             variables = self.model.init(key, jnp.asarray(self._init_batch))
-            self.params = variables["params"]
-            self.opt_state = self.tx.init(self.params)
+            # Place under the compiled steps' shardings: a raw init is
+            # committed to one device, which would force a recompile and
+            # train tensor-sharded runs unsharded.
+            self.params = jax.device_put(variables["params"],
+                                         self._param_shardings)
+            st = self.tx.init(self.params)
+            self.opt_state = jax.device_put(
+                st, opt_state_shardings(st, self.mesh))
             self.step = 0
             self._train_epochs_raw(arm_epochs, batch_size)
             recons = self._quick_valid_recons(batch_size)
@@ -590,11 +627,20 @@ class Trainer:
             logger.info("discovery restart arm %d/%d: valid recons %.3f "
                         "after %d epochs", arm + 1, restarts, recons,
                         arm_epochs)
-            if best is None or recons < best[0]:
+            # NaN-scored arms (diverged) must never win: `x < nan` is
+            # always False, so a NaN first arm would otherwise block
+            # every later finite arm.
+            if np.isfinite(recons) and (best is None or recons < best[0]):
                 best = (recons, self.params, self.opt_state, self.step)
             if keep_going_below > 0 and recons < keep_going_below:
                 break
+        if best is None:
+            logger.warning("discovery restarts: every arm diverged "
+                           "(scores %s); continuing from the last arm",
+                           scores)
+            best = (scores[-1], self.params, self.opt_state, self.step)
         recons, self.params, self.opt_state, self.step = best
+        self._epochs_consumed = arm_epochs
         logger.info("discovery restarts: continuing from arm %d "
                     "(valid recons %.3f; arms %s)", scores.index(recons),
                     recons, ["%.2f" % s for s in scores])
@@ -622,6 +668,8 @@ class Trainer:
                 batch_size, type="valid")
             log_metrics(logger, "valid - epoch=%s" % 0,
                         valid_metrics_results)
+            self._recons_history.append(
+                (0, float(valid_metrics_results["eval_recons_loss"])))
 
         use_fused = self._fused_train_enabled(batch_size)
         ensure_train_u8 = self._ensure_train_u8
@@ -747,17 +795,17 @@ class Trainer:
                     batch_size, type="valid")
                 log_metrics(logger, "valid - epoch=%s" % ep,
                             valid_metrics_results)
+                cur_recons = float(
+                    valid_metrics_results["eval_recons_loss"])
+                self._recons_history.append((ep, cur_recons))
                 rescued_now = False
                 if (self.auto_rescue > 0
                         and self._rescue_count < self.max_rescues
                         and ep >= self.auto_rescue
                         and ep - self._last_rescue_ep >= self.auto_rescue
-                        and float(valid_metrics_results
-                                  ["eval_recons_loss"])
-                        > self.rescue_recons):
-                    self._do_auto_rescue(
-                        ep, float(valid_metrics_results
-                                  ["eval_recons_loss"]))
+                        and cur_recons > self.rescue_recons
+                        and self._discovery_stalled(ep, cur_recons)):
+                    self._do_auto_rescue(ep, cur_recons)
                     rescued_now = True
                 # The aux trigger must not read the PRE-surgery recons in
                 # the eval that just fired a rescue: the reset model's
@@ -823,6 +871,31 @@ class Trainer:
                     test_metrics_results)
         self.flush_artifacts()
         return test_metrics_results
+
+    def _discovery_stalled(self, ep, recons,
+                           min_rel_improve: float = 0.05):
+        """Stall guard for --auto_rescue: surgery is for runs STUCK in
+        the attractor, not runs still descending (late discovery in
+        progress — measured on runs/spring_one5: both balls visibly
+        tracked at recons ~5 and improving when the epoch-count trigger
+        alone would have reset the slots). Stalled = less than
+        ``min_rel_improve`` relative improvement vs the most recent
+        valid eval at least auto_rescue/2 epochs back. With no eval that
+        far back (sparse cadence), treat as stalled (legacy behavior)."""
+        lookback = max(1, self.auto_rescue // 2)
+        past = [r for (e, r) in self._recons_history if e <= ep - lookback]
+        if not past:
+            return True
+        baseline = past[-1]
+        if not np.isfinite(baseline) or baseline <= 0:
+            return True
+        improving = (baseline - recons) / baseline >= min_rel_improve
+        if improving:
+            logger.info(
+                "auto_rescue: deferred at epoch %d — recons %.3f still "
+                "improving (%.1f%% over the last %d epochs)", ep, recons,
+                100.0 * (baseline - recons) / baseline, lookback)
+        return not improving
 
     def _do_auto_rescue(self, ep, recons):
         """In-training slot-rescue surgery (--auto_rescue): the in-place
@@ -890,10 +963,13 @@ class Trainer:
         # The rebuilt schedule's internal count restarts at 0, so size it
         # to the REMAINING epochs — sizing it to the original horizon
         # would leave an --anneal_lr run ending at a mid-schedule LR.
-        schedule = opt_lib.lr_schedule(self.base_lr,
-                                       max(1, a["epochs"] - ep),
-                                       a["steps_per_epoch"],
-                                       self.anneal_lr)
+        schedule = opt_lib.lr_schedule(
+            self.base_lr,
+            # Remaining horizon: the original budget minus any
+            # pre-loop (--discovery_restarts) epochs minus the loop
+            # epochs already run (`ep` is relative to the loop).
+            max(1, a["epochs"] - self._epochs_consumed - ep),
+            a["steps_per_epoch"], self.anneal_lr)
         self.tx = opt_lib.build_optimizer(
             a["optimizer"], schedule, host,
             physics_lr_mult=a["physics_lr_mult"],
@@ -1063,15 +1139,9 @@ class Trainer:
             batch_size = n
 
         raw = getattr(eval_iterator, "raw_uint8", None)
-        use_fused = (self.fused_input and raw is not None
-                     and n >= batch_size
-                     and batch_size % self.mesh.shape["data"] == 0
-                     and jax.process_count() == 1)
+        use_fused = self._fused_eval_enabled(eval_iterator, batch_size)
         if use_fused:
-            if type not in self._eval_u8:
-                self._eval_u8[type] = global_batch(
-                    raw, jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec()))
+            self._ensure_eval_u8(type, raw)
             # All index batches of one epoch (the iterator drops the
             # ragged tail, matching reference epoch semantics).
             idxs = eval_iterator.next_index_batches(

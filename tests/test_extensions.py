@@ -114,9 +114,27 @@ def test_cotangent_clip_identity_forward():
     def f(z):
         return jnp.sum(cells.clip_cotangent(z * 1e6, 1.0) ** 2)
 
-    g = jax.grad(f)(x)
-    assert float(jnp.sqrt(jnp.sum(g ** 2))) <= 1e6 * 1.0 + 1e-3
-    assert bool(jnp.all(jnp.isfinite(g)))
+    g = np.asarray(jax.grad(f)(x))
+    # PER-SAMPLE clipping: each batch row's cotangent norm is bounded by
+    # the limit (scaled back through the z*1e6 chain rule); the total
+    # norm may reach limit * sqrt(B).
+    row_norms = np.sqrt((g ** 2).sum(axis=1))
+    assert np.all(row_norms <= 1e6 * (1.0 + 1e-5))   # f32 rounding slack
+    assert np.isfinite(g).all()
+
+    # An exploding row must not rescale the other rows' cotangents
+    # (the global-clip failure mode this replaces).
+    def f2(z):
+        scale = jnp.concatenate([jnp.full((1, 8), 1e5),
+                                 jnp.ones((3, 8))], axis=0)
+        # limit 100: healthy rows' cotangent norms (~5) pass untouched,
+        # the exploding row (~1e5) clips.
+        return jnp.sum(cells.clip_cotangent(z * scale, 100.0) ** 2)
+
+    g2 = np.asarray(jax.grad(f2)(x))
+    healthy = np.sqrt((np.asarray(2 * x[1:]) ** 2).sum(axis=1))
+    got = np.sqrt((g2[1:] ** 2).sum(axis=1))
+    np.testing.assert_allclose(got, healthy, rtol=1e-5)
 
 
 def test_attn_overlap_penalty_detects_slot_collapse():

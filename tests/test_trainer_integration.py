@@ -257,3 +257,21 @@ def test_discovery_restarts_early_stop(tiny_spring_data, tmp_path):
     ])
     log = open(os.path.join(save_dir, "log.txt")).read()
     assert log.count("discovery restart arm") == 1
+
+
+def test_auto_rescue_stall_guard():
+    """_discovery_stalled: a run still descending >=5% per half-window is
+    NOT stalled (late discovery must not be reset); a flat run is."""
+    import types
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    ns = types.SimpleNamespace(auto_rescue=250)
+    # descending: 8.4 at ep125 -> 5.0 at ep250 (40% improvement)
+    ns._recons_history = [(0, 769.0), (125, 8.4), (249, 5.1)]
+    assert not Trainer._discovery_stalled(ns, 250, 5.0)
+    # flat: 10.5 -> 10.4 over the half-window
+    ns._recons_history = [(0, 769.0), (125, 10.5), (249, 10.45)]
+    assert Trainer._discovery_stalled(ns, 250, 10.4)
+    # no eval far enough back -> legacy behavior (stalled)
+    ns._recons_history = [(240, 10.0)]
+    assert Trainer._discovery_stalled(ns, 250, 10.0)
