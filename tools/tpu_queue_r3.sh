@@ -17,6 +17,9 @@
 # Sequential: one chip. Each run logs to runs/<name>/log.txt.
 set -u
 cd /root/repo
+# Own-pid marker: the launcher's setsid wrapper pid is useless for
+# liveness checks (it exits immediately); the watcher reads this file.
+echo $$ > /tmp/queue_r3v2.pid
 R=runners/run_physics.py
 
 wait_for() {  # wait_for <dataset file relative to data/datasets>

@@ -22,7 +22,7 @@ while true; do
   if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "$(date -u) queue dead with work left — relaunching"
     setsid nohup bash tools/tpu_queue_r3.sh >> runs/queue_r3v2.log 2>&1 &
-    echo $! > /tmp/queue_r3v2.pid
+    sleep 5   # the queue writes its own pid marker
   else
     echo "$(date -u) backend unreachable; will retry"
   fi
