@@ -135,7 +135,12 @@ def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
                                        horizon=horizon, substeps=substeps)
 
     ks = np.exp(np.linspace(np.log(0.25), np.log(16), 9))
-    es = np.exp(np.linspace(np.log(1.0), np.log(12.0), 9))
+    # equil upper bound ABOVE any task's truth: mnist's true equil is 12
+    # and a grid topping out at 12.0 put the optimum ON the boundary,
+    # which the train-time fit's bounds-rejection rule then refused
+    # forever (measured: runs/mnist_one1 rejected k=2.000/equil=12.000 —
+    # the exact truth — at every fit).
+    es = np.exp(np.linspace(np.log(1.0), np.log(20.0), 9))
     best = None
     for _ in range(3):   # coarse-to-fine
         scores = np.array([[score(k, e) for e in es] for k in ks])
