@@ -29,7 +29,13 @@ import numpy as np
 # does not look like the law at all (e.g. uncorrected per-slot position
 # offsets, a pre-discovery encoder) — and must not be installed.
 SPRING_K_BOUNDS = (0.25, 16.0)
-SPRING_E_BOUNDS = (1.0, 12.0)
+# equil upper bound must sit ABOVE any task's truth: mnist's true equil
+# is 12 and a grid topping out at 12.0 put the optimum ON the boundary,
+# which the train-time fit's bounds-rejection then refused forever
+# (measured: runs/mnist_one1 rejected k=2.000/equil=12.000 — the exact
+# truth — at every fit). The search grids below derive from these
+# constants so the rejection rule and the grid can never disagree.
+SPRING_E_BOUNDS = (1.0, 20.0)
 GRAVITY_A_BOUNDS = (2.0, 400.0)
 
 
@@ -134,13 +140,8 @@ def fit_spring_trajectory(enc, dt, input_steps=4, horizon=6, substeps=5):
                                        input_steps=input_steps,
                                        horizon=horizon, substeps=substeps)
 
-    ks = np.exp(np.linspace(np.log(0.25), np.log(16), 9))
-    # equil upper bound ABOVE any task's truth: mnist's true equil is 12
-    # and a grid topping out at 12.0 put the optimum ON the boundary,
-    # which the train-time fit's bounds-rejection rule then refused
-    # forever (measured: runs/mnist_one1 rejected k=2.000/equil=12.000 —
-    # the exact truth — at every fit).
-    es = np.exp(np.linspace(np.log(1.0), np.log(20.0), 9))
+    ks = np.exp(np.linspace(*map(np.log, SPRING_K_BOUNDS), 9))
+    es = np.exp(np.linspace(*map(np.log, SPRING_E_BOUNDS), 9))
     best = None
     for _ in range(3):   # coarse-to-fine
         scores = np.array([[score(k, e) for e in es] for k in ks])
@@ -224,7 +225,7 @@ def fit_gravity_trajectory(enc, dt, input_steps=4, horizon=12,
                                         horizon=horizon,
                                         substeps=substeps)
 
-    grid = np.exp(np.linspace(np.log(2.0), np.log(400.0), 13))
+    grid = np.exp(np.linspace(*map(np.log, GRAVITY_A_BOUNDS), 13))
     best = None
     for _ in range(3):   # coarse-to-fine
         scores = np.array([score(a) for a in grid])
