@@ -55,7 +55,19 @@ run spring_one5 --task=spring_color --epochs=1000 --batch_size=100 \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
 
-# 2. mnist_spring_color — restarts + the (dead-digit) rescue in-run.
+# 2. 3bp_color — NO pos_consistency (aligned losses anchor to chaotic
+#    diverging rollouts; measured regression). Runs before mnist: its
+#    dataset is on disk immediately after a fresh-VM regen while the
+#    (64x64 + CIFAR background) mnist set is still generating.
+run 3bp_one1 --task=3bp_color --epochs=1000 --batch_size=100 \
+  --base_lr=1e-3 --autoencoder_loss=5.0 --color --seed=0 \
+  --discovery_restarts=4 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 --fit_physics_every=25 \
+  --learn_frame_offset \
+  --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
+  --auto_rescue=250 --max_rescues=3 --save_every_n_epochs=50
+
+# 3. mnist_spring_color — restarts + the (dead-digit) rescue in-run.
 wait_for "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz" && \
 run mnist_one1 --task=mnist_spring_color --epochs=1000 --batch_size=100 \
   --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
@@ -64,16 +76,6 @@ run mnist_one1 --task=mnist_spring_color --epochs=1000 --batch_size=100 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
-
-# 3. 3bp_color — NO pos_consistency (aligned losses anchor to chaotic
-#    diverging rollouts; measured regression).
-run 3bp_one1 --task=3bp_color --epochs=1000 --batch_size=100 \
-  --base_lr=1e-3 --autoencoder_loss=5.0 --color --seed=0 \
-  --discovery_restarts=4 --discovery_epochs=150 --discovery_recons_ok=4.0 \
-  --aux_on_recons=3.5 --fit_physics_every=25 \
-  --learn_frame_offset \
-  --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
-  --auto_rescue=250 --max_rescues=3 --save_every_n_epochs=50
 
 # 4. spring_color_half — same recipe as spring.
 wait_for "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz" && \
