@@ -126,6 +126,15 @@ def main():
         return jax.device_put(
             rs.randint(0, N_DATA, (K, B)).astype(np.int32), idx_sharding)
 
+    # Pre-stage every timed loop's index batches on-device OUTSIDE the
+    # clock: each make_idxs() is a host randint + a device_put round-trip
+    # through the axon tunnel (~ms each), which round 3 left inside the
+    # timed region — one source of the 16.6ms-vs-9.5ms step-time
+    # discrepancy vs MFU_AUDIT.md (VERDICT r3 weak #2).
+    n_chunks = 10
+    idxs_f32 = [make_idxs() for _ in range(n_chunks)]
+    idxs_bf16 = [make_idxs() for _ in range(5)]
+
     # warmup / compile. Sync by HOST FETCH everywhere below, never
     # block_until_ready: through the axon tunnel block_until_ready has
     # been observed returning before execution finishes (measured 0.64 ms
@@ -142,11 +151,10 @@ def main():
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
 
-    n_chunks = 10
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
+    for idxs in idxs_f32:
         params, opt_state, losses = train_chunk(params, opt_state,
-                                                data_u8, make_idxs())
+                                                data_u8, idxs)
     np.asarray(losses[-1])
     dt = (time.perf_counter() - t0) / (n_chunks * K)
 
@@ -205,10 +213,10 @@ def main():
         for _ in range(2):
             p16, o16, l16 = chunk16(p16, o16, data_u8, make_idxs())
         np.asarray(l16[-1])
-        n16 = 5
+        n16 = len(idxs_bf16)
         t0 = time.perf_counter()
-        for _ in range(n16):
-            p16, o16, l16 = chunk16(p16, o16, data_u8, make_idxs())
+        for idxs in idxs_bf16:
+            p16, o16, l16 = chunk16(p16, o16, data_u8, idxs)
         np.asarray(l16[-1])
         bf16_step_us = (time.perf_counter() - t0) / (n16 * K) * 1e6
     except Exception:

@@ -1177,16 +1177,19 @@ class Trainer:
     def _write_outputs_npz(self, inputs, outputs):
         """Write outputs.npz (reference artifact, base.py:212-214) on a
         non-daemon writer thread: zlib-compressing the ~70MB input dump
-        dominates eval wall time otherwise. Joins any previous writer
-        first so writes never interleave."""
+        dominates eval wall time otherwise (single-CPU host). Joins any
+        previous writer first so writes never interleave. Level-1 deflate
+        via utils.npz.savez_fast — same npz container, ~6x cheaper."""
         import threading
+
+        from paig_reproduction_tpu.utils.npz import savez_fast
 
         if self._npz_thread is not None:
             self._npz_thread.join()
         path = os.path.join(self.save_dir, "outputs.npz")
 
         def write():
-            np.savez_compressed(path, input=inputs, output=outputs)
+            savez_fast(path, input=inputs, output=outputs)
 
         self._npz_thread = threading.Thread(target=write, daemon=False)
         self._npz_thread.start()
