@@ -245,6 +245,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "handicap instead of -inf, so their "
                              "attention channels keep learning before "
                              "activation (0 = hard gate)")
+    parser.add_argument("--reference_quirks", action="store_true",
+                        help="[extension] bug-compatible training "
+                             "gradient path: pred/extrap terms enter the "
+                             "train loss detached, so only the "
+                             "autoencoder term trains (the reference's "
+                             "effective behavior — its pred term is a "
+                             "stale no_grad eval output, base.py:142,"
+                             "195). For curve-level A/B comparisons only")
     parser.add_argument("--decoder_backend", type=str, default="auto",
                         choices=("auto", "xla", "pallas"),
                         help="[extension] ST-decoder compute backend "
@@ -359,6 +367,7 @@ def main(argv=None):
             slot_gate_soft=args.slot_gate_soft,
             template_init=args.template_init,
             decoder_backend=args.decoder_backend,
+            reference_quirks=args.reference_quirks,
             compute_dtype=args.compute_dtype)
 
     if not args.test_mode:

@@ -103,6 +103,19 @@ class PhysicsNet(nn.Module):
     # path stays available and parity-tested for larger-image model
     # families where the fused composite outgrows what XLA fuses well.
     decoder_backend: str = "auto"
+    # [extension, default off] bug-compatible training-gradient path: the
+    # reference's train step computes the pred/extrap terms against a
+    # STALE no_grad eval output (reference base.py:142,195 +
+    # physics_models.py:130), so gradients reach ONLY the
+    # encoder/decoder via the autoencoder_loss*recons term — the velocity
+    # encoder and the ODE cell's physical parameters never train. With
+    # this flag the pred term enters the train loss under stop_gradient,
+    # reproducing that gradient path exactly for curve-level A/B
+    # comparisons. Loss VALUES still use the fresh rollout (the
+    # reference's stale constants depend on its eval cadence and batch,
+    # which is not a well-defined function of the training state).
+    # Default off: the intended end-to-end semantics (SURVEY.md §3.1).
+    reference_quirks: bool = False
     # [extension] computation dtype for the encoder conv stack:
     # "float32" (default, reference-faithful) or "bfloat16" (runs the
     # UNet convs + wide encoder matmuls at the MXU's doubled bf16 rate
@@ -592,7 +605,12 @@ def compute_losses(model: PhysicsNet, inp: jnp.ndarray,
     extrap_loss = jnp.mean(loss[:, model.pred_steps:])
 
     pred_weight = aux_scale if model.recons_warmup else 1.0
-    train_loss = pred_weight * pred_loss
+    # --reference_quirks: the reference's effective training gradient is
+    # recons-only (its pred term is a detached stale eval output —
+    # reference base.py:142,195); reproduce that gradient path.
+    train_pred = (jax.lax.stop_gradient(pred_loss)
+                  if model.reference_quirks else pred_loss)
+    train_loss = pred_weight * train_pred
     if model.autoencoder_loss > 0.0:
         train_loss = train_loss + model.autoencoder_loss * recons_loss
     # Extension losses, gated by aux_scale (0 during --aux_warmup_epochs:

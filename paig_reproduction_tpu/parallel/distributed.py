@@ -74,6 +74,31 @@ def process_local_rows(n_rows: int) -> slice:
     return slice(pi * per, (pi + 1) * per)
 
 
+def global_put_replicated(x, sharding) -> jax.Array:
+    """Place one param/opt-state leaf under a (possibly multi-process)
+    sharding. Single-process: plain device_put. Multi-process: every
+    process passes the SAME full value (params are computed identically
+    on every host — same PRNGKey init, same deterministic surgery), so
+    placement only supports fully-replicated shardings there; leaves that
+    are already correctly-placed global arrays pass through untouched.
+    Multi-host tensor-parallel placement (a 'model'-sharded leaf spanning
+    processes) is not supported and asserts loudly."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_equivalent_to(sharding, x.ndim):
+            return x
+        # np.asarray below needs a locally recoverable value
+        assert x.is_fully_replicated, (
+            "cannot re-place a multi-process sharded leaf", x.sharding)
+    assert sharding.is_fully_replicated, (
+        "multi-process placement only supports replicated param/opt "
+        "leaves (multi-host TP is not wired up)", sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(
+        sharding, x, global_shape=x.shape)
+
+
 def global_batch(batch_np: np.ndarray, sharding) -> jax.Array:
     """Assemble a globally-sharded array. Single-process: plain
     device_put. Multi-process: every process passes the SAME global-shape

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paig_reproduction_tpu.parallel.distributed import global_batch
+from paig_reproduction_tpu.parallel.distributed import (
+    global_batch,
+    global_put_replicated,
+)
 from paig_reproduction_tpu.parallel.mesh import opt_state_shardings
 from paig_reproduction_tpu.train import optimizers as opt_lib
 
@@ -134,12 +137,16 @@ class RecipeMixin:
             variables = self.model.init(key, jnp.asarray(self._init_batch))
             # Place under the compiled steps' shardings: a raw init is
             # committed to one device, which would force a recompile and
-            # train tensor-sharded runs unsharded.
-            self.params = jax.device_put(variables["params"],
-                                         self._param_shardings)
+            # train tensor-sharded runs unsharded. (global_put_replicated:
+            # multi-process runs init identical arms on every host and a
+            # plain device_put cannot target non-addressable devices.)
+            self.params = jax.tree.map(global_put_replicated,
+                                       variables["params"],
+                                       self._param_shardings)
             st = self.tx.init(self.params)
-            self.opt_state = jax.device_put(
-                st, opt_state_shardings(st, self.mesh))
+            self.opt_state = jax.tree.map(
+                global_put_replicated, st,
+                opt_state_shardings(st, self.mesh))
             self.step = 0
             self._train_epochs_raw(arm_epochs, batch_size)
             recons = self._quick_valid_recons(batch_size)
@@ -221,14 +228,19 @@ class RecipeMixin:
           rationale as the tool; the LR schedule restarts with it).
         """
         from paig_reproduction_tpu.train import surgery
-        if jax.process_count() > 1:
-            # Host-side surgery needs fully-addressable params; gathering
-            # sharded leaves across processes is not wired up. The
-            # offline tool covers this case between runs.
+        if jax.process_count() > 1 and not all(
+                getattr(leaf, "is_fully_replicated", True)
+                for leaf in jax.tree.leaves(self.params)):
+            # Multi-host DP keeps params fully replicated, so every
+            # process recovers the full value locally and computes the
+            # IDENTICAL surgery from the identical host dataset — no
+            # broadcast needed (tested in tests/test_distributed.py).
+            # Multi-host TP shards leaves across processes; gathering
+            # those is not wired up — the offline tool covers it.
             logger.warning(
-                "auto_rescue: skipped on multi-process runs (params are "
-                "not fully addressable); use tools/slot_rescue.py "
-                "between runs instead")
+                "auto_rescue: skipped — tensor-sharded params span "
+                "processes and host-side surgery cannot gather them; "
+                "use tools/slot_rescue.py between runs instead")
             self._rescue_count = 10 ** 9
             return
         m = self.model

@@ -49,7 +49,10 @@ from paig_reproduction_tpu.models.physics_net import (
     PhysicsNet,
     compute_losses,
 )
-from paig_reproduction_tpu.parallel.distributed import global_batch
+from paig_reproduction_tpu.parallel.distributed import (
+    global_batch,
+    global_put_replicated,
+)
 from paig_reproduction_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -216,10 +219,14 @@ class Trainer(RecipeMixin):
 
         # Place params/opt state according to the mesh rules once; optimizer
         # moments shard consistently with their (possibly tensor-sharded)
-        # params.
-        self.params = jax.device_put(self.params, p_shard)
-        self.opt_state = jax.device_put(
-            self.opt_state, opt_state_shardings(self.opt_state, self.mesh))
+        # params. Leaf-wise global_put_replicated: on multi-process runs a
+        # plain device_put cannot target non-addressable devices, and the
+        # leaves may be host numpy (fresh init, post---auto_rescue surgery).
+        self.params = jax.tree.map(global_put_replicated, self.params,
+                                   p_shard)
+        o_shard = opt_state_shardings(self.opt_state, self.mesh)
+        self.opt_state = jax.tree.map(global_put_replicated, self.opt_state,
+                                      o_shard)
 
         def make_loss_fn(m):
             def loss_fn(params, batch, aux_scale=1.0):

@@ -98,6 +98,41 @@ def test_end_to_end_gradients():
         assert norm > 0, f"no gradient reaching {sub}"
 
 
+def test_reference_quirks_gradient_path():
+    """--reference_quirks reproduces the reference's EFFECTIVE training
+    gradients (recons-only: its pred term is a detached stale eval
+    output, reference base.py:142,195 + physics_models.py:130): physics
+    params and the velocity encoder get EXACTLY zero gradient, the
+    encoder/decoder still train, and the loss VALUES are unchanged."""
+    cfg = TASK_CFGS["spring_color"]
+    model, params, inp, out, aux = _forward(cfg)
+    qmodel = model.clone(reference_quirks=True)
+
+    def loss_fn(p, m):
+        out, aux = m.apply(p, inp)
+        l, _ = compute_losses(m, inp, out, aux["recons_out"])
+        return l
+
+    g = jax.grad(loss_fn)(params, qmodel)["params"]
+    assert float(g["log_k"]) == 0.0
+    assert float(g["log_equil"]) == 0.0
+    vel_norm = np.sqrt(sum(float(jnp.sum(x ** 2))
+                           for x in jax.tree.leaves(g["velocity_encoder"])))
+    assert vel_norm == 0.0, "velocity encoder must get no gradient"
+    for sub in ("encoder", "var_net_template"):
+        norm = np.sqrt(sum(float(jnp.sum(x ** 2))
+                           for x in jax.tree.leaves(g[sub])))
+        assert norm > 0, f"autoencoder path must still train {sub}"
+
+    # metric values are identical to the intended-semantics mode
+    l_q, ev_q = compute_losses(qmodel, inp, out, aux["recons_out"])
+    l_i, ev_i = compute_losses(model, inp, out, aux["recons_out"])
+    np.testing.assert_allclose(float(l_q), float(l_i), rtol=1e-6)
+    for k in ev_i:
+        np.testing.assert_allclose(float(ev_q[k]), float(ev_i[k]),
+                                   rtol=1e-6)
+
+
 def test_decoder_matches_grid_sample_oracle():
     """The separable-matmul decoder warp must equal the reference
     composition: stn(affine_grid) on (template+5, sigmoid contents) with
