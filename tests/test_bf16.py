@@ -8,6 +8,9 @@ import numpy as np
 
 from paig_reproduction_tpu.models import PhysicsNet
 from paig_reproduction_tpu.models.physics_net import compute_losses
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-scale; core gate runs -m 'not slow'
 
 
 def _models():

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import pytest
+
 from paig_reproduction_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
@@ -58,6 +60,7 @@ def test_partial_restore_keeps_new_leaves(tmp_path):
                                0.0)
 
 
+@pytest.mark.slow
 def test_cross_task_partial_restore(tmp_path):
     """A model of a DIFFERENT task (3 objects, 36px) restoring a 2-object
     32px checkpoint takes every name+shape-matching trunk leaf and keeps

@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # integration-scale; core gate runs -m 'not slow'
+
 _WORKER = r"""
 import os, sys
 import numpy as np

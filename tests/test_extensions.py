@@ -9,6 +9,7 @@ from paig_reproduction_tpu.models import PhysicsNet
 from paig_reproduction_tpu.models.physics_net import compute_losses
 from paig_reproduction_tpu.ops import cells
 from paig_reproduction_tpu.train.optimizers import build_optimizer
+import pytest
 
 
 def _model(**kw):
@@ -55,6 +56,7 @@ def test_aux_losses_present_and_gated():
     assert total(1.0) > total(0.0)
 
 
+@pytest.mark.slow
 def test_frame_offset_param_and_gradient():
     model = _model(learn_frame_offset=True, pos_consistency=1.0)
     inp = _inp()
@@ -81,6 +83,7 @@ def test_frame_offset_param_and_gradient():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_physics_lr_mult_scales_updates():
     model = _model()
     params = model.init(jax.random.PRNGKey(0), _inp())["params"]
@@ -96,6 +99,7 @@ def test_physics_lr_mult_scales_updates():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_clip_bounds_update():
     model = _model()
     params = model.init(jax.random.PRNGKey(0), _inp())["params"]
@@ -243,6 +247,7 @@ def test_bg_lr_mult_scales_background_updates():
                                0.1 * float(other.ravel()[0]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_slot_gate_soft_keeps_gradients_alive():
     """Soft curriculum gate: inactive slots stay decoder-invisible, but
     their encoder UNet channels receive gradient (the hard gate's
@@ -383,6 +388,7 @@ def test_fit_physics_hook_identifies_spring():
     assert tr2.aux_warmup_steps == 1 << 30
 
 
+@pytest.mark.slow
 def test_enhancers_eval_only_train_graph_drops_them():
     """--enhancers_eval_only: the trainer's train step must be numerically
     identical to a no-fit model's train step (the GN fit is parameter-free
@@ -434,6 +440,7 @@ def test_enhancers_eval_only_train_graph_drops_them():
                - float(e_plain["eval_pred_loss"])) > 1e-5
 
 
+@pytest.mark.slow
 def test_cpu_backend_defaults_to_per_step_dispatch(monkeypatch, tmp_path):
     """Fused whole-chunk dispatch amortizes accelerator-tunnel latency;
     under XLA:CPU the chunked TRAIN executable is pathologically slow at

@@ -54,6 +54,7 @@ def test_pallas_large_logits_safe():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_backend_flag_forward_and_grad_parity():
     """st_decode(backend="pallas") (custom_vjp: kernel fwd, XLA bwd) must
     match the XLA path in value AND gradients, including through the

@@ -37,6 +37,7 @@ def test_device_count():
 
 
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_matches_single_device(n_data, n_model):
     model, params, inp, loss_fn = _setup(batch=8)
 
@@ -86,6 +87,7 @@ def test_tp_params_actually_sharded():
     assert small.sharding.spec == P(), small.sharding
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -178,6 +178,7 @@ def test_decoder_matches_grid_sample_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_lstm_baseline_runs():
     """--lstm_layers is honored: a 2-layer stack creates both cells'
     params and still rolls out (reference exposes the flag but never wires

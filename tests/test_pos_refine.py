@@ -13,6 +13,7 @@ from paig_reproduction_tpu.models.decoder import (
     st_decode,
 )
 from paig_reproduction_tpu.ops.pos_refine import refine_positions
+import pytest
 
 
 def _toy_scene(n_objs=2, img=32, seed=0):
@@ -82,6 +83,7 @@ def test_refine_wired_into_model():
                            aux1["pos_vel_seq"][:, 0])
 
 
+@pytest.mark.slow
 def test_refine_recons_pos_changes_recons_and_keeps_grads():
     """--refine_recons_pos refines EVERY encoded frame before the
     autoencoder decode: recons_out moves, the rollout window follows the

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from paig_reproduction_tpu.ops import cells
 from paig_reproduction_tpu.ops.cells import CellParams
@@ -41,6 +42,7 @@ def test_exact_observations_recover_state():
     np.testing.assert_allclose(v, true_vel[:, -1], atol=5e-3)
 
 
+@pytest.mark.slow
 def test_noisy_observations_beat_naive_initializer():
     """Under encoder-like noise the fit must beat last-frame + noisy-MLP
     both at t=0 and rolled out (the production win it exists for)."""
@@ -162,6 +164,7 @@ def _bouncing_states(rs, b, s, vmax=8.0):
     return jnp.stack(ps, 1), jnp.stack(vs, 1)
 
 
+@pytest.mark.slow
 def test_bouncing_fit_exact_recovery_through_bounces():
     """Noise-free windows — including ones containing a wall bounce —
     recover the true frame-(s-1) state exactly (the unfolded trajectory
@@ -185,6 +188,7 @@ def test_bouncing_fit_exact_recovery_through_bounces():
     np.testing.assert_allclose(v, true_vel[:, -1], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_bouncing_fit_noisy_beats_naive_rolled_out():
     """Under encoder-like noise the fit must beat last-frame + noisy-MLP
     on the 6-frame rollout — the metric that sets eval_pred_loss."""
@@ -213,6 +217,7 @@ def test_bouncing_fit_noisy_beats_naive_rolled_out():
     assert err(pos_f, pos_t) < 0.65 * err(pos_n, pos_t)
 
 
+@pytest.mark.slow
 def test_bouncing_fit_handles_slot_swaps():
     """Flickered slot assignments mid-window (the measured encoder
     failure at ball crossings) must be re-aligned before fitting."""
@@ -236,6 +241,7 @@ def test_bouncing_fit_handles_slot_swaps():
     np.testing.assert_allclose(v, true_vel[:, -1], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_bouncing_fit_unexplainable_window_falls_back():
     """Observations no single-bounce free-flight line can explain fall
     back to the naive initializer, per coordinate."""
@@ -251,6 +257,7 @@ def test_bouncing_fit_unexplainable_window_falls_back():
     np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bouncing_fit_wired_into_model():
     """PhysicsNet(init_state_fit>0, bouncing cell) routes to the unfold
     fit and produces finite outputs with a changed start state."""

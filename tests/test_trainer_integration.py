@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration-scale; core gate runs -m 'not slow'
+
 from paig_reproduction_tpu.data import generators as g
 
 
