@@ -99,6 +99,24 @@ def global_put_replicated(x, sharding) -> jax.Array:
         sharding, x, global_shape=x.shape)
 
 
+def global_index_batches(idxs: np.ndarray, sharding) -> jax.Array:
+    """Assemble the fused-chunk [K, B] index matrix under a
+    PartitionSpec(None, 'data') sharding: the batch axis (axis 1) shards
+    across ALL devices, including other processes' — each process
+    uploads its own column block. This is what lets the fused
+    whole-chunk train/eval dispatch data-parallelize on multi-host runs
+    (a replicated index matrix makes every device gather and compute the
+    FULL batch). Same same-host-order contract as global_batch."""
+    if jax.process_count() == 1:
+        return jax.device_put(idxs, sharding)
+    if sharding.is_fully_replicated:
+        local = idxs
+    else:
+        local = idxs[:, process_local_rows(idxs.shape[1])]
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=idxs.shape)
+
+
 def global_batch(batch_np: np.ndarray, sharding) -> jax.Array:
     """Assemble a globally-sharded array. Single-process: plain
     device_put. Multi-process: every process passes the SAME global-shape

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from paig_reproduction_tpu.parallel.distributed import (
-    global_batch,
+    global_index_batches,
     global_put_replicated,
 )
 from paig_reproduction_tpu.parallel.mesh import opt_state_shardings
@@ -68,7 +68,7 @@ class RecipeMixin:
                     batch_size, chunk_k).astype(np.int32)
                 self.params, self.opt_state, _ = self._train_chunk(
                     self.params, self.opt_state, self._train_u8,
-                    global_batch(idxs, idx_sharding),
+                    global_index_batches(idxs, idx_sharding),
                     jnp.asarray(self.step, jnp.int32), warmup)
                 self.step += idxs.shape[0]
             else:
@@ -93,8 +93,9 @@ class RecipeMixin:
             self._ensure_eval_u8("valid", raw)
             idxs = it.next_index_batches(batch_size, 10 ** 9).astype(
                 np.int32)
-            m = self._eval_chunk(self.params, self._eval_u8["valid"],
-                                 jnp.asarray(idxs))
+            m = self._eval_chunk(
+                self.params, self._eval_u8["valid"],
+                global_index_batches(idxs, self._idx_sharding()))
             return float(np.asarray(m["eval_recons_loss"]).mean())
         vals = []
         while it.get_epoch() < 1:

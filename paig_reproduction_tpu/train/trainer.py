@@ -51,6 +51,7 @@ from paig_reproduction_tpu.models.physics_net import (
 )
 from paig_reproduction_tpu.parallel.distributed import (
     global_batch,
+    global_index_batches,
     global_put_replicated,
 )
 from paig_reproduction_tpu.parallel.mesh import (
@@ -506,12 +507,13 @@ class Trainer(RecipeMixin):
                     self.mesh, jax.sharding.PartitionSpec()))
 
     def _idx_sharding(self):
-        # [K, B] index matrix shards over batch; replicate across hosts
-        # (it is tiny, and row-slicing semantics only apply to axis 0).
+        # [K, B] index matrix shards over batch on every topology; on
+        # multi-host runs each process uploads its own column block
+        # (global_index_batches) so the fused chunk actually
+        # data-parallelizes — a replicated index matrix made every
+        # device gather and compute the FULL batch (round-3 behavior).
         return jax.sharding.NamedSharding(
-            self.mesh,
-            jax.sharding.PartitionSpec(None, "data")
-            if jax.process_count() == 1 else jax.sharding.PartitionSpec())
+            self.mesh, jax.sharding.PartitionSpec(None, "data"))
 
     def _fused_eval_enabled(self, it, batch_size):
         """One predicate for the fused (device-resident, whole-epoch)
@@ -520,8 +522,7 @@ class Trainer(RecipeMixin):
         raw = getattr(it, "raw_uint8", None)
         n = it.X.shape[0]
         return (self.fused_input and raw is not None and n >= batch_size
-                and batch_size % self.mesh.shape["data"] == 0
-                and jax.process_count() == 1)
+                and batch_size % self.mesh.shape["data"] == 0)
 
     def _ensure_eval_u8(self, type, raw):
         if type not in self._eval_u8:
@@ -624,7 +625,7 @@ class Trainer(RecipeMixin):
                     ensure_train_u8()
                     idxs = self.train_iterator.next_index_batches(
                         batch_size, chunk_k).astype(np.int32)
-                    idxs_d = global_batch(idxs, idx_sharding)
+                    idxs_d = global_index_batches(idxs, idx_sharding)
                     self.params, self.opt_state, metrics = \
                         self._train_chunk(self.params, self.opt_state,
                                           self._train_u8, idxs_d,
@@ -780,8 +781,9 @@ class Trainer(RecipeMixin):
             # ragged tail, matching reference epoch semantics).
             idxs = eval_iterator.next_index_batches(
                 batch_size, 10 ** 9).astype(np.int32)
-            metrics = self._eval_chunk(self.params, self._eval_u8[type],
-                                       jnp.asarray(idxs))
+            metrics = self._eval_chunk(
+                self.params, self._eval_u8[type],
+                global_index_batches(idxs, self._idx_sharding()))
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             eval_metrics_results = {k: metrics[k].mean() for k in keys}
             inputs = eval_iterator.X[idxs.reshape(-1)]

@@ -108,6 +108,40 @@ assert np.isfinite(loss2), loss2
 chk2 = float(sum(np.abs(np.asarray(l)).sum()
                  for l in jax.tree.leaves(tr.params)))
 print(f"proc {pid}: rescue loss2={loss2:.6f} chk2={chk2:.4f}", flush=True)
+
+# Fused-chunk path on the multi-host mesh: the sharded [K, B] index
+# upload (global_index_batches) must produce the same optimizer steps as
+# per-step dispatch — this is the path that data-parallelizes the fused
+# dispatch across hosts (round-4 fix: a replicated index matrix made
+# every device compute the full batch).
+os.environ["PAIG_FUSED"] = "1"
+
+def fresh_trainer(fused):
+    t = Trainer(model, mesh=mesh, seed=0, fused_input=fused)
+    it2 = DataIterator(X)
+    it2.raw_uint8 = (X * 255).astype(np.uint8)
+    t.get_data((it2, it2, it2))
+    t.init_params(X[:1])
+    t.build_optimizer(1e-3, "rmsprop", epochs=1, steps_per_epoch=2)
+    return t, it2
+
+tf_, itf = fresh_trainer(True)
+tp_, itp = fresh_trainer(False)
+assert tf_._fused_train_enabled(4), "fused path must engage multi-host"
+tf_._train_epochs_raw(1, 4)
+# replay the same index order through per-step dispatch
+idxs = itp.next_index_batches(4, 10 ** 9)
+warm = jnp.asarray(0, jnp.int32)
+for i, row in enumerate(idxs):
+    b = tp_._put_batch((itp.raw_uint8[row]).astype(np.float32) / 255.0)
+    tp_.params, tp_.opt_state, _ = tp_._train_step(
+        tp_.params, tp_.opt_state, b, jnp.asarray(i, jnp.int32), warm)
+cf = float(sum(np.abs(np.asarray(l)).sum()
+               for l in jax.tree.leaves(tf_.params)))
+cp = float(sum(np.abs(np.asarray(l)).sum()
+               for l in jax.tree.leaves(tp_.params)))
+assert abs(cf - cp) / cp < 1e-3, (cf, cp)
+print(f"proc {pid}: fused chk={cf:.4f} perstep chk={cp:.4f}", flush=True)
 """
 
 
@@ -179,6 +213,7 @@ def test_two_process_full_train_step(tmp_path):
             rf"proc {pid}: rescue loss2=([\d.eE+-]+) chk2=([\d.eE+-]+)",
             out)
         assert m and m2, out[-4000:]
+        assert f"proc {pid}: fused chk=" in out, out[-4000:]
         vals.append((float(m.group(1)), float(m.group(2)),
                      float(m2.group(1)), float(m2.group(2))))
 
