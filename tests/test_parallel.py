@@ -96,3 +96,36 @@ def test_graft_entry_dryrun():
     assert np.isfinite(float(loss))
 
     ge.dryrun_multichip(8)
+
+
+def test_global_index_batches_and_put_replicated_single_process():
+    """Single-process semantics of the multi-host placement helpers:
+    global_index_batches shards [K, B] over the data axis; a gather
+    through it equals the host gather. global_put_replicated is a plain
+    device_put (numpy and jax.Array leaves alike)."""
+    from paig_reproduction_tpu.parallel.distributed import (
+        global_index_batches,
+        global_put_replicated,
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))
+    rs = np.random.RandomState(0)
+    idxs = rs.randint(0, 50, (3, 8)).astype(np.int32)
+    arr = global_index_batches(idxs, spec)
+    assert arr.shape == (3, 8)
+    np.testing.assert_array_equal(np.asarray(arr), idxs)
+
+    data = rs.rand(50, 4).astype(np.float32)
+    data_d = global_put_replicated(
+        data, jax.sharding.NamedSharding(mesh,
+                                         jax.sharding.PartitionSpec()))
+    out = jax.jit(lambda d, i: d[i])(data_d, arr)
+    np.testing.assert_allclose(np.asarray(out), data[idxs], rtol=1e-6)
+
+    # jax.Array input passes through placement unchanged in value
+    again = global_put_replicated(
+        data_d, jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec()))
+    np.testing.assert_array_equal(np.asarray(again), data)
