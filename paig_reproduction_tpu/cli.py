@@ -261,9 +261,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="[extension] encoder conv-stack computation "
-                             "dtype; bfloat16 doubles the MXU rate with "
-                             "f32 master weights (positions, physics, "
-                             "decoder and losses stay f32)")
+                             "dtype; bfloat16 runs the convs at the MXU's "
+                             "bf16 rate with f32 master weights "
+                             "(positions, physics, decoder and losses "
+                             "stay f32). Measured: ~1.08x train step, but "
+                             "object DISCOVERY failed under bf16 on the "
+                             "spring recipe A/B (CONVERGENCE.md round 4) "
+                             "— keep float32 for from-scratch training")
     return parser
 
 
