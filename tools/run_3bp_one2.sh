@@ -1,7 +1,7 @@
 #!/bin/bash
 # 3bp_color single-command retry with the runs/3bp_one1 diagnosis applied
 # (benchmarks/CONVERGENCE.md round 4):
-#   - epochs=3000: the all-slot reset needs a LONG uninterrupted
+#   - epochs=2300 (fits the round): the all-slot reset needs a LONG uninterrupted
 #     pinned-background tail (r3's successful multi-stage run used 1000
 #     epochs from a better encoder; a one-command run starts weaker).
 #   - max_rescues=1 + auto_rescue=500: exactly one reset, fired late
@@ -14,7 +14,7 @@ set -u
 cd /root/repo
 echo $$ > /tmp/run_3bp_one2.pid
 timeout 14400 python runners/run_physics.py --save_dir=runs/3bp_one2 \
-  --task=3bp_color --epochs=3000 --batch_size=100 \
+  --task=3bp_color --epochs=2300 --batch_size=100 \
   --base_lr=1e-3 --autoencoder_loss=5.0 --color --seed=0 \
   --discovery_restarts=2 --discovery_epochs=150 --discovery_recons_ok=4.0 \
   --aux_on_recons=3.5 --fit_physics_every=25 \
