@@ -55,22 +55,14 @@ class RecipeMixin:
         logging, or trigger machinery. Used by the --discovery_restarts
         arms, where only the end-state matters."""
         use_fused = self._fused_train_enabled(batch_size)
-        if use_fused:
-            self._ensure_train_u8()
-        idx_sharding = self._idx_sharding()
-        chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
-        chunk_k = chunk_env if chunk_env > 0 else 25
+        chunk_k = self._chunk_len()
         target = self.train_iterator.epochs_completed + n_epochs
         warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
         while self.train_iterator.epochs_completed < target:
             if use_fused:
-                idxs = self.train_iterator.next_index_batches(
-                    batch_size, chunk_k).astype(np.int32)
-                self.params, self.opt_state, _ = self._train_chunk(
-                    self.params, self.opt_state, self._train_u8,
-                    global_index_batches(idxs, idx_sharding),
-                    jnp.asarray(self.step, jnp.int32), warmup)
-                self.step += idxs.shape[0]
+                # Same dispatch helper as train_model's hot loop — chunk
+                # semantics must not drift between the two.
+                self._dispatch_fused_chunk(batch_size, chunk_k, warmup)
             else:
                 feed_dict, _ = self.get_batch(batch_size,
                                               self.train_iterator)
@@ -327,7 +319,14 @@ class RecipeMixin:
         for _ in range(4):
             bx, _ = self.train_iterator.sample_random_batch(
                 min(batch_size, self.train_iterator.num_examples - 1))
-            _, aux = self._forward(self.params, self._put_batch(bx))
+            # Replicated upload (not _put_batch's data-sharded one): the
+            # fit fetches enc_pos to the host, and a batch sharded across
+            # processes yields non-addressable outputs np.asarray cannot
+            # read. Every process draws the identical batch (shared RNG
+            # contract, parallel/distributed.py) and computes the
+            # identical fit.
+            _, aux = self._forward(self.params,
+                                   self._put_batch_replicated(bx))
             encs.append(np.asarray(aux["enc_pos"]))
         enc = np.concatenate(encs)              # [N, t_in, n_objs*2]
         offsets = self._rendered_offsets()
@@ -414,7 +413,9 @@ class RecipeMixin:
         variant was up to 6 px off on mnist digits)."""
         n = min(8, self.train_iterator.num_examples)
         bx = self.train_iterator.X[:n]
-        _, aux = self._forward_extras(self.params, self._put_batch(bx))
+        # Replicated for the same host-fetch reason as _identify_physics.
+        _, aux = self._forward_extras(self.params,
+                                      self._put_batch_replicated(bx))
         masks = np.asarray(aux["extras"]["transf_masks"])    # [F,o+1,H,W]
         conts = np.asarray(aux["extras"]["transf_contents"])  # [F,o,H,W,C]
         pos_at = np.asarray(aux["enc_pos"]).reshape(

@@ -475,6 +475,37 @@ class Trainer(RecipeMixin):
                 self.mesh, jax.sharding.PartitionSpec()))
         return global_batch(batch, self._batch_sharding)
 
+    def _put_batch_replicated(self, batch_np):
+        """Fully-replicated batch upload, for host-fetching hooks (the
+        recipe fit/offset estimators read jit outputs back with
+        np.asarray, which cannot read arrays sharded across processes)."""
+        return global_batch(np.asarray(batch_np), jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()))
+
+    def _chunk_len(self, print_interval=0):
+        """Fused-chunk length (steps per dispatch). Independent of the
+        logging cadence (per-step metrics for every step of a chunk come
+        back in one array regardless); PAIG_CHUNK_STEPS overrides."""
+        chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
+        return chunk_env if chunk_env > 0 else max(25, print_interval)
+
+    def _dispatch_fused_chunk(self, batch_size, chunk_k, warmup):
+        """One fused-chunk dispatch: draw up to chunk_k index batches
+        from the train iterator, gather+step on device, advance
+        self.step. Returns (n_done, device metrics dict). Shared by
+        train_model and the --discovery_restarts arms so chunk dispatch
+        semantics cannot drift between them."""
+        self._ensure_train_u8()
+        idxs = self.train_iterator.next_index_batches(
+            batch_size, chunk_k).astype(np.int32)
+        idxs_d = global_index_batches(idxs, self._idx_sharding())
+        step0 = self.step
+        self.params, self.opt_state, metrics = self._train_chunk(
+            self.params, self.opt_state, self._train_u8, idxs_d,
+            jnp.asarray(step0, jnp.int32), warmup)
+        self.step = step0 + idxs.shape[0]
+        return idxs.shape[0], metrics
+
     def _fused_train_enabled(self, batch_size):
         # Fused whole-chunk dispatch exists to amortize the accelerator
         # tunnel's per-dispatch latency. On the CPU backend the chunked
@@ -574,13 +605,9 @@ class Trainer(RecipeMixin):
         step = self.step
         t0 = time.perf_counter()
         frames = 0
-        idx_sharding = self._idx_sharding()
-        # Fused-chunk length: independent of the logging cadence (a user
-        # with --print_interval=1 must NOT silently fall back to per-step
-        # dispatch; per-step metrics for every step of a chunk come back
-        # in one array regardless). PAIG_CHUNK_STEPS overrides.
-        chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
-        chunk_k = chunk_env if chunk_env > 0 else max(25, print_interval)
+        # A user with --print_interval=1 must NOT silently fall back to
+        # per-step dispatch (_chunk_len handles it).
+        chunk_k = self._chunk_len(print_interval)
 
         # Deferred metric logging: the device->host fetch for chunk n
         # happens after chunk n+1 has been dispatched, so the round-trip
@@ -622,17 +649,9 @@ class Trainer(RecipeMixin):
                     self.step = step
                     continue
                 if use_fused:
-                    ensure_train_u8()
-                    idxs = self.train_iterator.next_index_batches(
-                        batch_size, chunk_k).astype(np.int32)
-                    idxs_d = global_index_batches(idxs, idx_sharding)
-                    self.params, self.opt_state, metrics = \
-                        self._train_chunk(self.params, self.opt_state,
-                                          self._train_u8, idxs_d,
-                                          jnp.asarray(step, jnp.int32),
-                                          jnp.asarray(self.aux_warmup_steps,
-                                                      jnp.int32))
-                    n_done = idxs.shape[0]
+                    n_done, metrics = self._dispatch_fused_chunk(
+                        batch_size, chunk_k,
+                        jnp.asarray(self.aux_warmup_steps, jnp.int32))
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
                     # fetch/log the PREVIOUS chunk (overlaps this one's

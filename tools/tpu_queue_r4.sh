@@ -30,6 +30,7 @@ wait_for() {  # wait_for <dataset file relative to data/datasets>
 run() {  # run <save_dir> <args...>
   local dir=$1; shift
   if [ -f "runs/$dir/.done" ]; then echo "skip $dir (done)"; return; fi
+  if [ -f "runs/$dir/.timeout" ]; then echo "skip $dir (timed out previously; needs a smaller budget)"; return; fi
   echo "=== $(date -u +%H:%M:%S) launching $dir ==="
   timeout 14400 python $R --save_dir=runs/$dir "$@" \
     > runs/${dir}_stdout.log 2>&1
@@ -42,6 +43,12 @@ run() {  # run <save_dir> <args...>
     # lost slot cannot pass silently.
     echo "!!! FAILED $dir rc=$rc ($(date -u +%H:%M:%S)) — see runs/${dir}_stdout.log"
     echo "$(date -u) $dir rc=$rc" >> runs/queue_r4_failures.log
+    if [ $rc -eq 124 ]; then
+      # Timed out: mark it so a watcher relaunch does NOT restart a
+      # known-too-long run from scratch forever (the 4h timeout would
+      # kill it again every cycle, burning the chip in a loop).
+      mkdir -p runs/$dir && touch runs/$dir/.timeout
+    fi
   fi
 }
 

@@ -8,7 +8,11 @@ cd /root/repo
 RUNS="lstm_proof 3bp_one1 spring_bf16_one1 half_one1 bounce_one1 mnist_one1"
 
 all_done() {
-  for r in $RUNS; do [ -f "runs/$r/.done" ] || return 1; done
+  # .timeout counts as terminal: relaunching a run the 4h budget already
+  # killed would loop the chip forever.
+  for r in $RUNS; do
+    [ -f "runs/$r/.done" ] || [ -f "runs/$r/.timeout" ] || return 1
+  done
   return 0
 }
 
