@@ -39,7 +39,14 @@ run() {  # run <save_dir> <args...>
     > runs/${dir}_stdout.log 2>&1
   local rc=$?
   echo "=== $(date -u +%H:%M:%S) $dir exit=$rc ==="
-  [ $rc -eq 0 ] && touch runs/$dir/.done
+  if [ $rc -eq 0 ]; then
+    touch runs/$dir/.done
+  else
+    # ADVICE r3: a failed run (dataset race, rc=124 timeout, ...) must not
+    # pass silently — loud marker + queue-level failures file.
+    echo "!!! FAILED $dir rc=$rc ($(date -u +%H:%M:%S)) — see runs/${dir}_stdout.log"
+    echo "$(date -u) $dir rc=$rc" >> runs/queue_r3_failures.log
+  fi
 }
 
 # 1. spring_color — the north-star single-command run. v4 stalled in the
@@ -59,6 +66,10 @@ run spring_one5 --task=spring_color --epochs=1000 --batch_size=100 \
 #    diverging rollouts; measured regression). Runs before mnist: its
 #    dataset is on disk immediately after a fresh-VM regen while the
 #    (64x64 + CIFAR background) mnist set is still generating.
+#    ADVICE r3: guard the dataset like the other entries — "immediately"
+#    still races the regen; get_iterators does a bare np.load. The sl40
+#    test file is generated last (same convention as the mnist guard).
+wait_for "3bp_color/color_3bp_vx2_vy2_sl40_r2_g60_m1_dt05.npz" && \
 run 3bp_one1 --task=3bp_color --epochs=1000 --batch_size=100 \
   --base_lr=1e-3 --autoencoder_loss=5.0 --color --seed=0 \
   --discovery_restarts=4 --discovery_epochs=150 --discovery_recons_ok=4.0 \
