@@ -40,7 +40,22 @@ run() {  # run <save_dir> <args...>
   fi
 }
 
-# 1. spring_color_half — the committed spring_one5 winning recipe verbatim.
+# 1. bouncing_balls — runs FIRST in practice: its dataset is committed
+#    while the half sl30 regen is still ~25 min out on the fresh VM
+#    (measured 2026-08-19); bounce-first keeps the chip busy. Arms
+#    trimmed 10->8 to fit the window; recipe otherwise the r4 queue
+#    entry (no fit_physics: nothing learnable to fit).
+wait_for "bouncing/color_bounce_vx8_vy8_sl30_r2.npz" && \
+run bounce_one1 --task=bouncing_balls --epochs=800 --batch_size=100 \
+  --base_lr=3e-4 --autoencoder_loss=2.0 --color --seed=0 \
+  --discovery_restarts=8 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 \
+  --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
+  --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4 \
+  --enhancers_eval_only --auto_rescue=250 --max_rescues=2 \
+  --save_every_n_epochs=50
+
+# 2. spring_color_half — the committed spring_one5 winning recipe verbatim.
 wait_for "spring_color_half/color_spring_vx4_vy4_sl12_r2_k4_e6_halfpane.npz" && \
 wait_for "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz" && \
 run half_one1 --task=spring_color_half --epochs=1000 --batch_size=100 \
@@ -50,16 +65,5 @@ run half_one1 --task=spring_color_half --epochs=1000 --batch_size=100 \
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
-
-# 2. bouncing_balls — arms trimmed 10->8 to fit the window; recipe otherwise
-#    the r4 queue entry (no fit_physics: nothing learnable to fit).
-run bounce_one1 --task=bouncing_balls --epochs=800 --batch_size=100 \
-  --base_lr=3e-4 --autoencoder_loss=2.0 --color --seed=0 \
-  --discovery_restarts=8 --discovery_epochs=150 --discovery_recons_ok=4.0 \
-  --aux_on_recons=3.5 \
-  --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
-  --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4 \
-  --enhancers_eval_only --auto_rescue=250 --max_rescues=2 \
-  --save_every_n_epochs=50
 
 echo "=== queue complete $(date -u) ==="
