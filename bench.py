@@ -253,6 +253,11 @@ def main():
                               if bf16_step_us else None),
         "bf16_fps_per_chip": (round(B * T / (bf16_step_us / 1e6) / n_chips, 1)
                               if bf16_step_us else None),
+        # Set by the __main__ contention guard: a training run held the
+        # chip through the whole idle-wait budget, so the timed numbers
+        # above are inflated by TPU time-sharing.
+        **({"contended_with_training_run": True}
+           if os.environ.get("PAIG_BENCH_CONTENDED") == "1" else {}),
     }))
 
 
@@ -362,6 +367,42 @@ if __name__ == "__main__":
     # hard so the caller sees a failure instead of a hang.
     import sys
     import threading
+
+    # Contention guard: the driver runs bench.py at the round boundary,
+    # which can land while a queued training run still holds the chip —
+    # time-sharing the TPU inflates the timed step (suspected contributor
+    # to r3's 16.6 ms vs the clean-session 10.1 ms, MFU_AUDIT.md §3).
+    # Wait (bounded) for any live run_physics process to finish; if it
+    # outlasts the budget, proceed anyway but flag the JSON as contended.
+    def _competing_train_pids():
+        pids = []
+        for d in os.listdir("/proc"):
+            if not d.isdigit() or int(d) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{d}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace")
+            except OSError:
+                continue
+            if "run_physics.py" in cmd:
+                pids.append(int(d))
+        return pids
+
+    _wait_budget = float(os.environ.get("PAIG_BENCH_WAIT_IDLE", "1500"))
+    _waited = 0.0
+    while _competing_train_pids() and _waited < _wait_budget:
+        if _waited == 0:
+            print("bench: waiting for a live training run to release the "
+                  "chip (bounded by PAIG_BENCH_WAIT_IDLE="
+                  f"{int(_wait_budget)}s)", file=sys.stderr)
+        time.sleep(30)
+        _waited += 30
+    CONTENDED = bool(_competing_train_pids())
+    if CONTENDED:
+        os.environ["PAIG_BENCH_CONTENDED"] = "1"
+        print("bench: proceeding CONTENDED — a training run still holds "
+              "the chip; timed numbers will be inflated", file=sys.stderr)
 
     # Fast tunnel pre-probe: a dead axon relay wedges the FIRST device op
     # forever, so burning the full 30-min watchdog on it wastes the
