@@ -1,12 +1,15 @@
 #!/bin/bash
-# Round-5 single-command TPU queue: the two runs that did not fit round 4's
-# chip window (tools/tpu_queue_r4b.sh ran half_one1 + bounce_one1).
-#   1. 3bp_one2  — the diagnosed 3bp recipe (benchmarks/CONVERGENCE.md r4):
-#                  2300 epochs, exactly ONE late rescue (auto_rescue=500,
-#                  max_rescues=1) so the all-slot reset gets a long
-#                  uninterrupted pinned-background tail. ~2.4h.
-#   2. mnist_one1 — if chip time remains; 64x64, ~2.5h+, so it usually
-#                  falls to a later window.
+# Round-5 single-command TPU queue, value-greedy with round-4's measured
+# pacing (~21 ep/min steady, ~4 min compile, ~4 min test phase at 32x32):
+#   1. half_one2  — skipped automatically if round 4's window already
+#                   landed runs/half_one1 (.done). Full-strength spring
+#                   recipe; ~80 min, highest p(win).
+#   2. 3bp_one2   — the diagnosed 3bp recipe (benchmarks/CONVERGENCE.md
+#                   r4): 2300 epochs, exactly ONE late rescue
+#                   (auto_rescue=500, max_rescues=1) so the all-slot reset
+#                   gets a long uninterrupted pinned-background tail. ~2h.
+#   3. mnist_one1 — if chip time remains; 64x64, ~2.5h+, so it usually
+#                   falls off the end.
 # Self-sufficient on a fresh VM: regenerates any missing dataset itself
 # (ADVICE r3 — never race an external regen), then wait_for guards the
 # last-written file of each pair anyway.
@@ -48,7 +51,21 @@ run() {
   fi
 }
 
-# 1. 3bp_color retry with the runs/3bp_one1 diagnosis applied:
+# 1. spring_color_half — the committed spring_one5 winning recipe verbatim
+#    (skips itself if half_one1 landed in round 4's window).
+if [ ! -f runs/half_one1/.done ]; then
+  regen spring_color_half "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz"
+  wait_for "spring_color_half/color_spring_vx4_vy4_sl30_r2_k4_e6_halfpane.npz" && \
+  run half_one2 --task=spring_color_half --epochs=1000 --batch_size=100 \
+    --base_lr=6e-4 --autoencoder_loss=3.0 --color --seed=0 \
+    --discovery_restarts=8 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+    --aux_on_recons=3.5 --fit_physics_every=25 \
+    --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
+    --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
+    --auto_rescue=250 --max_rescues=2 --save_every_n_epochs=50
+fi
+
+# 2. 3bp_color retry with the runs/3bp_one1 diagnosis applied:
 #    - epochs=2300: the all-slot reset needs a LONG uninterrupted
 #      pinned-background descent (r3's multi-stage win used 1000 epochs
 #      from a better encoder; a one-command run starts weaker).
@@ -69,7 +86,7 @@ run 3bp_one2 --task=3bp_color --epochs=2300 --batch_size=100 \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=500 --max_rescues=1 --save_every_n_epochs=100
 
-# 2. mnist_spring_color — 2 arms (the dead-slot rescue is what cracks
+# 3. mnist_spring_color — 2 arms (the dead-slot rescue is what cracks
 #    mnist, not the restart lottery), 1200 epochs.
 regen mnist_spring_color "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz"
 wait_for "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz" && \
