@@ -8,7 +8,10 @@
 #                   r4): 2300 epochs, exactly ONE late rescue
 #                   (auto_rescue=500, max_rescues=1) so the all-slot reset
 #                   gets a long uninterrupted pinned-background tail. ~2h.
-#   3. mnist_one1 — if chip time remains; 64x64, ~2.5h+, so it usually
+#   3. bounce_one2 — rescue + slot-overlap penalty together (the 2x2
+#                   cell neither round 2 nor bounce_one1 tested); check
+#                   the round-4 probe result before spending the window.
+#   4. mnist_one1 — if chip time remains; 64x64, ~2.5h+, so it usually
 #                   falls off the end.
 # Self-sufficient on a fresh VM: regenerates any missing dataset itself
 # (ADVICE r3 — never race an external regen), then wait_for guards the
@@ -86,7 +89,31 @@ run 3bp_one2 --task=3bp_color --epochs=2300 --batch_size=100 \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=500 --max_rescues=1 --save_every_n_epochs=100
 
-# 3. mnist_spring_color — 2 arms (the dead-slot rescue is what cracks
+# 3. bouncing_balls retry — the untested cell of the 2x2: rescue +
+#    slot-overlap penalty TOGETHER. Round-2 measured the penalty failing
+#    from scratch; round-4's bounce_one1 measured the rescue alone
+#    failing (recons flat at 10.4 through two rescues). The round-4 tail
+#    probe (runs/bounce_probe_overlap, tools/bounce_probe_overlap.sh)
+#    tests the combination on the collapsed ckpt — CHECK ITS RESULT
+#    (CONVERGENCE.md round-4 bounce section) and tune
+#    --attn_overlap_loss before burning these 2h. Arms trimmed to 2:
+#    bounce arms never discover (10.8-17.2 across 8), the rescue is the
+#    mechanism. No fit_physics (nothing learnable); refine_enc_pos +
+#    unfolded-reflection state fit carry the pred metric as in the
+#    committed bounce_ft2 win.
+regen bouncing_balls "bouncing/color_bounce_vx8_vy8_sl30_r2.npz"
+wait_for "bouncing/color_bounce_vx8_vy8_sl30_r2.npz" && \
+run bounce_one2 --task=bouncing_balls --epochs=800 --batch_size=100 \
+  --base_lr=3e-4 --autoencoder_loss=2.0 --color --seed=0 \
+  --attn_overlap_loss=1.0 \
+  --discovery_restarts=2 --discovery_epochs=150 --discovery_recons_ok=4.0 \
+  --aux_on_recons=3.5 \
+  --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset \
+  --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4 \
+  --enhancers_eval_only --auto_rescue=200 --max_rescues=2 \
+  --save_every_n_epochs=50
+
+# 4. mnist_spring_color — 2 arms (the dead-slot rescue is what cracks
 #    mnist, not the restart lottery), 1200 epochs.
 regen mnist_spring_color "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz"
 wait_for "mnist_spring_color/color_mnist_spring_vx8_vy8_sl30_r2_k2_e12.npz" && \
