@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[extension] Template-disk radius installed "
                              "by --auto_rescue (template px; 0 = auto: "
                              "9 for >=64px tasks, else 3)")
+    parser.add_argument("--rescue_seed_color", action="store_true",
+                        help="[extension] --auto_rescue seeds each reset "
+                             "slot's contents with the residual color "
+                             "cluster no healthy slot explains (instead "
+                             "of mid-gray) — gives the fresh slot an "
+                             "immediate recons gradient toward the "
+                             "unexplained object (bouncing_balls)")
     parser.add_argument("--discovery_restarts", type=int, default=0,
                         help="[extension] Random-restart discovery: train "
                              "N independent arms (fresh params/optimizer "
@@ -399,6 +406,7 @@ def main(argv=None):
         trainer.auto_rescue = args.auto_rescue
         trainer.rescue_recons = args.rescue_recons
         trainer.rescue_disk_radius = args.rescue_disk_radius
+        trainer.rescue_seed_color = args.rescue_seed_color
         trainer.max_rescues = args.max_rescues
         if args.aux_on_recons > 0:
             trainer.set_aux_trigger(args.aux_on_recons)

@@ -244,14 +244,39 @@ class RecipeMixin:
                                           tmpl_px=m.tmpl_size ** 2)
         radius = self.rescue_disk_radius or (
             9.0 if m.img_size >= 64 else 3.0)
-        for s in slots:
-            host = surgery.rescue_slot(host, s, m.n_objs, m.tmpl_size,
-                                       m.conv_ch, radius=radius,
-                                       template_init=m.template_init)
         raw = getattr(self.train_iterator, "raw_uint8", None)
         frames = raw if raw is not None else self.train_iterator.X
-        host = surgery.set_background(host,
-                                      surgery.median_background(frames))
+        bg = surgery.median_background(frames)
+        # --rescue_seed_color: seed each reset slot's contents with the
+        # residual color cluster no healthy slot explains. Measured
+        # motivation (bounce_one1 + bounce_probe_overlap): a mid-gray
+        # disk reset re-dies on bouncing_balls — recons stays flat at
+        # ~10.4 — because nothing pulls the fresh slot toward the
+        # unexplained ball; a slot already colored like that ball gets
+        # recons gradient to move onto it from step one.
+        seeds = {}
+        if getattr(self, "rescue_seed_color", False):
+            try:
+                colors = surgery.object_pixel_colors(frames, bg)
+                if colors.shape[0] >= 8 * m.n_objs:
+                    clusters = surgery.color_clusters(colors, m.n_objs)
+                    slot_cols = surgery.slot_content_colors(
+                        host, m.n_objs, m.tmpl_size, m.conv_ch,
+                        template_init=m.template_init)
+                    taken = [slot_cols[i] for i in range(m.n_objs)
+                             if i not in slots]
+                    picked = surgery.pick_seed_colors(
+                        clusters, taken, len(slots))
+                    seeds = dict(zip(slots, picked))
+            except Exception:
+                logger.exception("rescue_seed_color failed; falling back "
+                                 "to mid-gray seeds")
+        for s in slots:
+            host = surgery.rescue_slot(
+                host, s, m.n_objs, m.tmpl_size, m.conv_ch, radius=radius,
+                content_rgb=seeds.get(s, (0.5,) * 3),
+                template_init=m.template_init)
+        host = surgery.set_background(host, bg)
         self.params = host
         self._rescue_count += 1
         self._last_rescue_ep = ep
@@ -260,9 +285,12 @@ class RecipeMixin:
             "auto_rescue: epoch %d valid recons %.3f > %.3f — slot "
             "health %s; reset slot(s) %s to disk priors (r=%.1f), "
             "pinned the median background and froze it (bg_lr_mult=0), "
-            "optimizer state re-initialized (rescue %d/%d)", ep, recons,
+            "optimizer state re-initialized (rescue %d/%d)%s", ep, recons,
             self.rescue_recons, [int(v) for v in health], slots, radius,
-            self._rescue_count, self.max_rescues)
+            self._rescue_count, self.max_rescues,
+            "; seed colors " + str(
+                {s: np.round(c, 3).tolist() for s, c in seeds.items()})
+            if seeds else "")
         a = self._opt_args
         # The rebuilt schedule's internal count restarts at 0, so size it
         # to the REMAINING epochs — sizing it to the original horizon

@@ -130,6 +130,7 @@ class Trainer(RecipeMixin):
         self.auto_rescue = 0
         self.rescue_recons = 3.0
         self.rescue_disk_radius = 0.0
+        self.rescue_seed_color = False
         self.max_rescues = 1
         self._rescue_count = 0
         self._last_rescue_ep = -(10 ** 9)

@@ -85,3 +85,52 @@ def test_select_dead_slots_policy():
     # dead-slot rule still wins over the balloon check
     assert surgery.select_dead_slots(
         np.array([250.0, 10.0]), tmpl_px=256) == [1]
+
+
+def test_residual_color_seeding_picks_the_unexplained_ball():
+    """--rescue_seed_color machinery end-to-end on synthetic frames:
+    static gray background + a green and a blue moving disk; with the
+    healthy slot already colored green, the seed for the reset slot must
+    come out blue (the object nobody explains)."""
+    H = W = 16
+    rs = np.random.RandomState(0)
+    bg_true = np.full((H, W, 3), 0.3, np.float32)
+    frames = []
+    for t in range(40):
+        f = bg_true.copy()
+        gy, gx = 3 + (t % 7), 3 + (t % 9)        # green disk path
+        by, bx = 11 - (t % 6), 11 - (t % 8)      # blue disk path
+        f[gy - 1:gy + 2, gx - 1:gx + 2] = [0.1, 0.9, 0.1]
+        f[by - 1:by + 2, bx - 1:bx + 2] = [0.1, 0.2, 0.9]
+        frames.append(f)
+    frames = np.stack(frames)[None]              # [1, T, H, W, C]
+
+    bg = surgery.median_background(frames)
+    np.testing.assert_allclose(bg, bg_true, atol=0.02)
+    colors = surgery.object_pixel_colors(frames, bg)
+    assert colors.shape[0] >= 40 * 9            # both disks, all frames
+    clusters = surgery.color_clusters(colors, k=2, seed=0)
+    # one cluster ~green, one ~blue
+    greens = clusters[:, 1] > clusters[:, 2]
+    assert greens.sum() == 1, clusters
+    taken = [np.array([0.1, 0.9, 0.1], np.float32)]   # healthy slot: green
+    seed = surgery.pick_seed_colors(clusters, taken, 1)[0]
+    assert seed[2] > seed[1] > seed[0] - 0.05, seed   # blue-dominant
+    # with nothing taken, two seeds cover BOTH clusters
+    two = surgery.pick_seed_colors(clusters, [], 2)
+    assert {bool(c[1] > c[2]) for c in two} == {True, False}
+
+
+def test_slot_content_colors_weighted_by_visible_mask():
+    n_objs, tmpl, ch = 2, 8, 3
+    p = make_params(n_objs, tmpl, ch)
+    # slot 0: visible disk colored red; slot 1: fully dead template
+    p = surgery.rescue_slot(p, 0, n_objs, tmpl, ch, radius=2.5,
+                            content_rgb=(0.9, 0.1, 0.1))
+    tt = tmpl * tmpl
+    dead = np.full(tt, -6.0, np.float32)
+    p = surgery.set_var_net_output(p, "var_net_template", dead,
+                                   np.arange(tt, 2 * tt))
+    cols = surgery.slot_content_colors(p, n_objs, tmpl, ch)
+    np.testing.assert_allclose(cols[0], [0.9, 0.1, 0.1], atol=1e-3)
+    np.testing.assert_allclose(cols[1], [0.5, 0.5, 0.5], atol=1e-6)
