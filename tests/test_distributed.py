@@ -59,7 +59,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.environ["PAIG_REPO"])
-from paig_reproduction_tpu.parallel.distributed import init_distributed
+from paig_reproduction_tpu.parallel.distributed import (
+    global_index_batches, init_distributed)
 from paig_reproduction_tpu.parallel.mesh import make_mesh
 from paig_reproduction_tpu.models import PhysicsNet
 from paig_reproduction_tpu.data.iterators import DataIterator
@@ -113,12 +114,15 @@ print(f"proc {pid}: rescue loss2={loss2:.6f} chk2={chk2:.4f}", flush=True)
 # upload (global_index_batches) must produce the same optimizer steps as
 # per-step dispatch — this is the path that data-parallelizes the fused
 # dispatch across hosts (round-4 fix: a replicated index matrix made
-# every device compute the full batch).
+# every device compute the full batch). Both paths replay the SAME
+# explicit [K, B] index matrix drawn once from a seeded iterator, so the
+# only variable under test is the dispatch mechanism (VERDICT r4 §1: the
+# old version let each trainer and each process draw its own shuffle).
 os.environ["PAIG_FUSED"] = "1"
 
 def fresh_trainer(fused):
     t = Trainer(model, mesh=mesh, seed=0, fused_input=fused)
-    it2 = DataIterator(X)
+    it2 = DataIterator(X, seed=0)
     it2.raw_uint8 = (X * 255).astype(np.uint8)
     t.get_data((it2, it2, it2))
     t.init_params(X[:1])
@@ -128,10 +132,27 @@ def fresh_trainer(fused):
 tf_, itf = fresh_trainer(True)
 tp_, itp = fresh_trainer(False)
 assert tf_._fused_train_enabled(4), "fused path must engage multi-host"
-tf_._train_epochs_raw(1, 4)
-# replay the same index order through per-step dispatch
-idxs = itp.next_index_batches(4, 10 ** 9)
+
+# one explicit index matrix, identical on both processes (seeded draw)
+master = DataIterator(X, seed=123)
+idxs = master.next_index_batches(4, 10 ** 9).astype(np.int32)
+assert idxs.shape == (2, 4), idxs.shape
+print(f"proc {pid}: idxsum={int(idxs.sum())}", flush=True)
+
+# Direct readback: the per-process column-block upload must reconstruct
+# the intended GLOBAL index matrix (VERDICT r4 §1's direct assert).
+idxs_d = global_index_batches(idxs, tf_._idx_sharding())
+rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+back = np.asarray(jax.jit(lambda x: x, out_shardings=rep)(idxs_d))
+assert np.array_equal(back, idxs), (back.tolist(), idxs.tolist())
+
 warm = jnp.asarray(0, jnp.int32)
+# fused: the whole matrix in ONE chunked dispatch
+tf_._ensure_train_u8()
+tf_.params, tf_.opt_state, _ = tf_._train_chunk(
+    tf_.params, tf_.opt_state, tf_._train_u8, idxs_d,
+    jnp.asarray(0, jnp.int32), warm)
+# per-step: the same rows, one optimizer step per row
 for i, row in enumerate(idxs):
     b = tp_._put_batch((itp.raw_uint8[row]).astype(np.float32) / 255.0)
     tp_.params, tp_.opt_state, _ = tp_._train_step(
@@ -140,7 +161,7 @@ cf = float(sum(np.abs(np.asarray(l)).sum()
                for l in jax.tree.leaves(tf_.params)))
 cp = float(sum(np.abs(np.asarray(l)).sum()
                for l in jax.tree.leaves(tp_.params)))
-assert abs(cf - cp) / cp < 1e-3, (cf, cp)
+assert abs(cf - cp) / cp < 1e-4, (cf, cp)
 print(f"proc {pid}: fused chk={cf:.4f} perstep chk={cp:.4f}", flush=True)
 """
 
@@ -212,10 +233,15 @@ def test_two_process_full_train_step(tmp_path):
         m2 = re.search(
             rf"proc {pid}: rescue loss2=([\d.eE+-]+) chk2=([\d.eE+-]+)",
             out)
-        assert m and m2, out[-4000:]
-        assert f"proc {pid}: fused chk=" in out, out[-4000:]
+        m3 = re.search(
+            rf"proc {pid}: fused chk=([\d.eE+-]+) perstep chk=([\d.eE+-]+)",
+            out)
+        m4 = re.search(rf"proc {pid}: idxsum=(\d+)", out)
+        assert m and m2 and m3 and m4, out[-4000:]
         vals.append((float(m.group(1)), float(m.group(2)),
-                     float(m2.group(1)), float(m2.group(2))))
+                     float(m2.group(1)), float(m2.group(2)),
+                     float(m3.group(1)), float(m3.group(2)),
+                     int(m4.group(1))))
 
     # both processes agree bit-for-bit (identical SPMD computation)
     assert vals[0] == vals[1], vals
