@@ -237,7 +237,8 @@ def main():
             ref = json.load(f)
         vs_baseline = fps_per_chip / ref["frames_per_sec"]
 
-    print(json.dumps({
+    contended = os.environ.get("PAIG_BENCH_CONTENDED") == "1"
+    result = {
         "metric": "train video frames/sec/chip (spring_color B100xT12)",
         "value": round(fps_per_chip, 1),
         "unit": "frames/sec/chip",
@@ -256,9 +257,33 @@ def main():
         # Set by the __main__ contention guard: a training run held the
         # chip through the whole idle-wait budget, so the timed numbers
         # above are inflated by TPU time-sharing.
-        **({"contended_with_training_run": True}
-           if os.environ.get("PAIG_BENCH_CONTENDED") == "1" else {}),
-    }))
+        **({"contended_with_training_run": True} if contended else {}),
+    }
+    print(json.dumps(result))
+
+    # Refresh the stale-fallback snapshot: every successful, uncontended
+    # measurement on a real accelerator becomes the number a later
+    # tunnel-outage replay reports (flagged stale). Never snapshot a CPU
+    # or contended run — the fallback's promise is "last clean on-chip".
+    if jax.default_backend() not in ("cpu",) and not contended:
+        snap = dict(result)
+        snap["measured_at"] = time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())
+        snap["methodology"] = (
+            "host-fetch-synced fused train chunk on the real TPU chip "
+            "(block_until_ready is unreliable through the axon tunnel; "
+            "see benchmarks/MFU_AUDIT.md). Auto-snapshotted by bench.py "
+            "on a successful uncontended on-chip run; serves as the "
+            "stale-fallback replay when the tunnel is down at bench "
+            "time. vs_baseline is frames/sec vs the reference PyTorch "
+            "implementation measured on this container "
+            "(benchmarks/torch_baseline.json).")
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "last_tpu_bench.json")
+            with open(path, "w") as f:
+                json.dump(snap, f, indent=2)
+        except OSError:
+            pass
 
 
 def stale_fallback_line(stale_path=None):
@@ -403,6 +428,11 @@ if __name__ == "__main__":
         os.environ["PAIG_BENCH_CONTENDED"] = "1"
         print("bench: proceeding CONTENDED — a training run still holds "
               "the chip; timed numbers will be inflated", file=sys.stderr)
+    else:
+        # A transient-failure retry re-execs with the parent's env; clear
+        # a stale flag so a retry that runs after the training process
+        # exited is not mislabeled contended (ADVICE r4).
+        os.environ.pop("PAIG_BENCH_CONTENDED", None)
 
     # Fast tunnel pre-probe: a dead axon relay wedges the FIRST device op
     # forever, so burning the full 30-min watchdog on it wastes the
@@ -423,14 +453,31 @@ if __name__ == "__main__":
         except Exception:
             return False
 
-    if os.environ.get("PAIG_BENCH_NO_PROBE") != "1" and not _backend_alive():
-        line = stale_fallback_line()
-        if line is not None:
-            print(line)
-            sys.exit(0)
-        print("bench: backend unreachable and no stale fallback",
-              file=sys.stderr)
-        sys.exit(3)
+    # Bounded wait-for-backend (VERDICT r4 §5): the tunnel drops and comes
+    # back on minute scales (round 4's driver bench landed in a gap and
+    # emitted a stale replay). Instead of one probe then straight to the
+    # stale line, keep re-probing inside a budget; only fall back stale
+    # once the budget is spent.
+    if os.environ.get("PAIG_BENCH_NO_PROBE") != "1":
+        _probe_budget = float(
+            os.environ.get("PAIG_BENCH_WAIT_BACKEND", "900"))
+        _probe_t0 = time.monotonic()
+        _alive = _backend_alive()
+        while not _alive and time.monotonic() - _probe_t0 < _probe_budget:
+            print("bench: backend unreachable, re-probing (budget "
+                  f"{int(_probe_budget)}s, "
+                  f"{int(time.monotonic() - _probe_t0)}s spent)",
+                  file=sys.stderr)
+            time.sleep(45)
+            _alive = _backend_alive(timeout_s=120.0)
+        if not _alive:
+            line = stale_fallback_line()
+            if line is not None:
+                print(line)
+                sys.exit(0)
+            print("bench: backend unreachable and no stale fallback",
+                  file=sys.stderr)
+            sys.exit(3)
 
     def _deadline():
         print("bench: 30-minute deadline exceeded (wedged backend?), "

@@ -49,6 +49,20 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def peek_checkpoint_leaf(restore_dir: str, key: str):
+    """Raw value of one top-level checkpoint leaf, or None when the
+    checkpoint or the leaf is absent. Used for variable-length state
+    (e.g. the auto-rescue recons history) that cannot go through
+    ``restore_checkpoint``'s exact-shape target matching."""
+    path = os.path.abspath(os.path.join(restore_dir, CKPT_NAME))
+    if not os.path.exists(path):
+        return None
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    if isinstance(restored, dict):
+        return restored.get(key)
+    return None
+
+
 def restore_checkpoint(restore_dir: str, target_tree):
     """Restore into the structure/dtypes of ``target_tree``.
 

@@ -272,9 +272,12 @@ class RecipeMixin:
                 logger.exception("rescue_seed_color failed; falling back "
                                  "to mid-gray seeds")
         for s in slots:
+            # Mid-gray fallback sized to the model's channel count — a
+            # 3-channel literal broadcast-errors on grayscale runs
+            # (conv_ch == 1, ADVICE r4).
             host = surgery.rescue_slot(
                 host, s, m.n_objs, m.tmpl_size, m.conv_ch, radius=radius,
-                content_rgb=seeds.get(s, (0.5,) * 3),
+                content_rgb=seeds.get(s, (0.5,) * m.conv_ch),
                 template_init=m.template_init)
         host = surgery.set_background(host, bg)
         self.params = host

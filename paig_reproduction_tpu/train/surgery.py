@@ -297,8 +297,14 @@ def pick_seed_colors(clusters: np.ndarray, taken: Sequence[np.ndarray],
                 axis=0)
             i = int(d.argmax())
         else:
-            # nothing is explained yet: most saturated cluster first
-            i = int(np.ptp(clusters, axis=1).argmax())
+            # nothing is explained yet: most saturated cluster first;
+            # per-channel ptp is identically 0 for grayscale (1-channel)
+            # clusters, so fall back to distance from mid-gray there —
+            # "most object-like against a gray background" (ADVICE r4)
+            sat = np.ptp(clusters, axis=1)
+            if float(sat.max()) <= 1e-6:
+                sat = np.abs(clusters - 0.5).sum(axis=1)
+            i = int(sat.argmax())
         out.append(clusters[i].copy())
         taken.append(clusters[i])
     return out
@@ -320,8 +326,14 @@ def rescue_slot(params: Dict, slot: int, n_objs: int, tmpl_size: int,
         params, "var_net_template", target.reshape(-1), tmpl_idx)
     ctt = tt * conv_ch
     cont_idx = np.arange(slot * ctt, (slot + 1) * ctt)
-    content = np.tile(logit(np.asarray(content_rgb, np.float32))[None],
-                      (tt, 1)).reshape(-1)
+    rgb = np.asarray(content_rgb, np.float32).reshape(-1)
+    # Broadcast a single gray level to the model's channel count;
+    # anything else must match exactly (a silent 3-on-1 mismatch would
+    # scatter the wrong layout into the content head — ADVICE r4).
+    if rgb.size == 1 and conv_ch > 1:
+        rgb = np.full(conv_ch, float(rgb[0]), np.float32)
+    assert rgb.size == conv_ch, (rgb.size, conv_ch)
+    content = np.tile(logit(rgb)[None], (tt, 1)).reshape(-1)
     params = set_var_net_output(params, "var_net_content", content,
                                 cont_idx)
     return params

@@ -63,6 +63,7 @@ from paig_reproduction_tpu.parallel.mesh import (
 from paig_reproduction_tpu.train import optimizers as opt_lib
 from paig_reproduction_tpu.train.recipes import RecipeMixin
 from paig_reproduction_tpu.train.checkpoint import (
+    peek_checkpoint_leaf,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -140,6 +141,9 @@ class Trainer(RecipeMixin):
         # still-DESCENDING run (late discovery in progress) is never
         # reset just for being above the threshold at the deadline.
         self._recons_history = []
+        # Epoch the checkpoint writer stamps (current position of
+        # train_model's epoch loop; persists the stall-guard frame).
+        self._cur_epoch = 0
         # Epochs already consumed before train_model's loop (the
         # --discovery_restarts phase); the rescue's remaining-horizon LR
         # schedule rebuild must subtract them.
@@ -389,11 +393,29 @@ class Trainer(RecipeMixin):
                       # restore keeps for pre-trigger-era checkpoints)
                       "aux_trigger_step": jnp.asarray(-1),
                       "rescue_step": jnp.asarray(-1),
-                      "rescue_count": jnp.asarray(-1)}
+                      "rescue_count": jnp.asarray(-1),
+                      "epoch": jnp.asarray(0),
+                      "rescue_epoch": jnp.asarray(-(10 ** 9))}
             restored = restore_checkpoint(restore_dir, target)
             self.params = restored["params"]
             self.opt_state = restored["opt_state"]
             self.step = int(restored["step"])
+            # Epoch the checkpoint was written at, in the SAVING run's
+            # numbering (0 for pre-round-5 checkpoints). The resumed
+            # run's epoch loop restarts at 1, so every persisted epoch
+            # quantity below is rebased by -ep_saved into the resumed
+            # frame (rescue at saved-epoch 450 of an 800-epoch run
+            # becomes -350: its cooldown is long spent).
+            ep_saved = int(restored["epoch"])
+            hist = peek_checkpoint_leaf(restore_dir, "recons_history")
+            if hist is not None and np.size(hist):
+                self._recons_history = [
+                    (int(e) - ep_saved, float(r))
+                    for e, r in np.asarray(hist)]
+                logger.info(
+                    "auto_rescue stall-guard history restored (%d evals, "
+                    "rebased to resume epoch 0)",
+                    len(self._recons_history))
             resc = int(restored["rescue_step"])
             if resc >= 0:
                 # The checkpoint was produced after an --auto_rescue
@@ -407,11 +429,15 @@ class Trainer(RecipeMixin):
                 rc = int(restored["rescue_count"])
                 self._rescue_count = rc if rc >= 0 else 1
                 self._rescue_step = resc
-                # The surgery epoch is not persisted; enforce the
-                # cooldown conservatively from the resume point (a
-                # resumed run waits a full auto_rescue window before a
-                # further rescue may fire).
-                self._last_rescue_ep = 0
+                resc_ep = int(restored["rescue_epoch"])
+                if resc_ep > -(10 ** 8):
+                    self._last_rescue_ep = resc_ep - ep_saved
+                else:
+                    # Pre-round-5 checkpoint without the surgery epoch:
+                    # enforce the cooldown conservatively from the resume
+                    # point (a resumed run waits a full auto_rescue
+                    # window before a further rescue may fire).
+                    self._last_rescue_ep = 0
                 logger.info(
                     "auto_rescue state restored (surgery at step %d, "
                     "%d rescue(s) used); pass --bg_lr_mult=0 to keep the "
@@ -435,7 +461,17 @@ class Trainer(RecipeMixin):
             "aux_trigger_step": jnp.asarray(
                 self.aux_warmup_steps if self._aux_triggered else -1),
             "rescue_step": jnp.asarray(self._rescue_step),
-            "rescue_count": jnp.asarray(self._rescue_count)})
+            "rescue_count": jnp.asarray(self._rescue_count),
+            # Stall-guard context (VERDICT r4 §7): the epoch this
+            # checkpoint was written at, the epoch of the last surgery,
+            # and the recent (epoch, valid recons) eval history — all in
+            # this run's epoch numbering; restore rebases them to the
+            # resumed run's frame so a kill/resume keeps its cooldown and
+            # descent baseline instead of the conservative blind mode.
+            "epoch": jnp.asarray(self._cur_epoch),
+            "rescue_epoch": jnp.asarray(self._last_rescue_ep),
+            "recons_history": np.asarray(
+                self._recons_history[-64:], np.float32).reshape(-1, 2)})
 
     # ----- logging ----------------------------------------------------------
     def add_train_logger(self):
@@ -486,9 +522,19 @@ class Trainer(RecipeMixin):
     def _chunk_len(self, print_interval=0):
         """Fused-chunk length (steps per dispatch). Independent of the
         logging cadence (per-step metrics for every step of a chunk come
-        back in one array regardless); PAIG_CHUNK_STEPS overrides."""
+        back in one array regardless); PAIG_CHUNK_STEPS overrides.
+
+        On accelerators the default covers a whole reference-size epoch
+        (50 steps at B=100 over 5000 examples): next_index_batches stops
+        at the epoch boundary regardless, so a large cap is semantics-
+        preserving and cuts the per-dispatch host work (index device_put,
+        metric fetch — each a tunnel round-trip) to once per epoch
+        (VERDICT r4 §6, the e2e-vs-fused gap)."""
         chunk_env = int(os.environ.get("PAIG_CHUNK_STEPS", "0"))
-        return chunk_env if chunk_env > 0 else max(25, print_interval)
+        if chunk_env > 0:
+            return chunk_env
+        base = 25 if jax.default_backend() == "cpu" else 128
+        return max(base, print_interval)
 
     def _dispatch_fused_chunk(self, batch_size, chunk_k, warmup):
         """One fused-chunk dispatch: draw up to chunk_k index batches
@@ -610,26 +656,34 @@ class Trainer(RecipeMixin):
         # per-step dispatch (_chunk_len handles it).
         chunk_k = self._chunk_len(print_interval)
 
-        # Deferred metric logging: the device->host fetch for chunk n
-        # happens after chunk n+1 has been dispatched, so the round-trip
-        # overlaps device execution instead of serializing with it.
-        pending_metrics = None
+        # Deferred metric logging: per-chunk metrics stay ON DEVICE and
+        # accumulate; the device->host fetch happens only at epochs that
+        # actually consume them (eval/save/fit boundaries, every few
+        # chunks, and at loop end). Each fetch is a tunnel round-trip
+        # (~10-30 ms through axon), so fetching once per chunk put a
+        # fixed ~25% tax on short epochs (VERDICT r4 §6). log.txt still
+        # gets a train line for every print_interval step, in order.
+        pending_metrics = []
 
-        def drain_pending():
+        def drain_pending(keep_last=False):
+            # keep_last: leave the most recent (likely still in-flight)
+            # chunk pending so the fetch never serializes with it.
             nonlocal pending_metrics
-            if pending_metrics is None:
-                return
-            metrics_d, step0, n_done = pending_metrics
-            pending_metrics = None
-            if any((step0 + i) % print_interval == 0
-                   for i in range(n_done)):
-                host = jax.device_get(metrics_d)
-                for i in range(n_done):
-                    if (step0 + i) % print_interval == 0:
-                        m = {kk: float(v[i]) for kk, v in host.items()}
-                        self._log_train_metrics(m, step0 + i)
+            tail = [pending_metrics.pop()] if (keep_last
+                                               and pending_metrics) else []
+            for metrics_d, step0, n_done in pending_metrics:
+                if any((step0 + i) % print_interval == 0
+                       for i in range(n_done)):
+                    host = jax.device_get(metrics_d)
+                    for i in range(n_done):
+                        if (step0 + i) % print_interval == 0:
+                            m = {kk: float(v[i])
+                                 for kk, v in host.items()}
+                            self._log_train_metrics(m, step0 + i)
+            pending_metrics = tail
 
         for ep in range(1, epochs + 1):
+            self._cur_epoch = ep
             while (native.epochs_completed if native is not None
                    else self.train_iterator.epochs_completed) < ep:
                 if native is not None:
@@ -655,11 +709,12 @@ class Trainer(RecipeMixin):
                         jnp.asarray(self.aux_warmup_steps, jnp.int32))
                     frames += n_done * batch_size * self.model.seq_len
                     self.run_extra_fns("train")
-                    # fetch/log the PREVIOUS chunk (overlaps this one's
-                    # execution; one device->host fetch per chunk — per-
-                    # key float() costs a tunnel round-trip each)
-                    drain_pending()
-                    pending_metrics = (metrics, step, n_done)
+                    pending_metrics.append((metrics, step, n_done))
+                    # fetch/log OLDER chunks while this one executes;
+                    # bounded so a long no-eval stretch can't pile up
+                    # unbounded device-resident metric arrays
+                    if len(pending_metrics) > 8:
+                        drain_pending(keep_last=True)
                     step += n_done
                     self.step = step
                     continue
@@ -681,7 +736,15 @@ class Trainer(RecipeMixin):
                 step += 1
                 self.step = step
 
-            drain_pending()   # epoch boundary: train lines precede eval's
+            # Drain only at epochs that consume the metrics (train lines
+            # must precede the epoch's eval/fit lines in log.txt); on
+            # plain epochs the pending fetches ride along with later
+            # chunks instead of costing a round-trip each.
+            if (ep % eval_every_n_epochs == 0
+                    or ep % save_every_n_epochs == 0
+                    or (self.fit_physics_every > 0
+                        and ep % self.fit_physics_every == 0)):
+                drain_pending()
 
             if (self.fit_physics_every > 0
                     and ep >= self.fit_physics_after
@@ -744,6 +807,8 @@ class Trainer(RecipeMixin):
             if ep % save_every_n_epochs == 0:
                 print("saving")
                 self.save()
+
+        drain_pending()   # every earned train line lands before test's
 
         if epochs > 0:
             # Host-fetch sync for the throughput clock (block_until_ready

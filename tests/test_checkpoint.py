@@ -60,6 +60,60 @@ def test_partial_restore_keeps_new_leaves(tmp_path):
                                0.0)
 
 
+def test_rescue_history_rebased_on_resume(tmp_path):
+    """Kill/resume around a rescue boundary (VERDICT r4 §7): the surgery
+    epoch and the recons history persist and are REBASED into the resumed
+    run's epoch frame, so the stall guard sees the pre-kill descent
+    instead of blind-firing a second rescue."""
+    import jax
+    import jax.numpy as jnp
+
+    from paig_reproduction_tpu.models import PhysicsNet
+    from paig_reproduction_tpu.train.trainer import Trainer
+
+    def mk():
+        model = PhysicsNet(task="spring_color",
+                           cell_type="spring_ode_cell", seq_len=6,
+                           input_steps=2, pred_steps=2,
+                           autoencoder_loss=3.0, color=True,
+                           input_size=16 * 16)
+        t = Trainer(model, seed=0)
+        x = np.random.RandomState(0).rand(2, 6, 3, 16, 16).astype(
+            np.float32)
+        t.init_params(x[:1])
+        t.build_optimizer(1e-3, "sgd", anneal_lr=False)
+        return t
+
+    t = mk()
+    run_dir = str(tmp_path / "run")
+    t.initialize_graph(run_dir, False)
+    # state as of a kill at epoch 500 of a run whose rescue fired at 450
+    # and which has been DESCENDING since (8.0 -> 5.0)
+    t._cur_epoch = 500
+    t._last_rescue_ep = 450
+    t._rescue_count = 1
+    t._rescue_step = 1234
+    t._recons_history = [(480, 8.0), (490, 6.0), (500, 5.0)]
+    t.save()
+
+    t2 = mk()
+    t2.auto_rescue = 20   # rescue machinery armed on the resumed run
+    t2.max_rescues = 2
+    t2.initialize_graph(run_dir, True)
+    assert t2._rescue_count == 1
+    assert t2._rescue_step == 1234
+    # rebased into the resumed frame: epoch 450 of the old run is -50
+    assert t2._last_rescue_ep == -50
+    assert t2._recons_history == [(-20, 8.0), (-10, 6.0), (0, 5.0)]
+    # The restored descent baseline blocks a blind re-fire: at resumed
+    # epoch 10 (lookback 10 -> baseline 5.0 at rebased epoch 0), recons
+    # 4.5 is a 10% improvement -> NOT stalled. Pre-fix, the empty
+    # history made this return True and the rescue re-fired.
+    assert not t2._discovery_stalled(10, 4.5)
+    # a genuinely flat resumed run still rescues
+    assert t2._discovery_stalled(10, 4.99)
+
+
 @pytest.mark.slow
 def test_cross_task_partial_restore(tmp_path):
     """A model of a DIFFERENT task (3 objects, 36px) restoring a 2-object

@@ -183,6 +183,13 @@ def test_auto_rescue_in_training(tiny_spring_data, tmp_path):
     restored = ocp.PyTreeCheckpointer().restore(
         os.path.abspath(os.path.join(save_dir, CKPT_NAME)))
     assert int(np.asarray(restored["rescue_step"])) >= 0
+    # Stall-guard context persists (VERDICT r4 §7): the save epoch, the
+    # surgery epoch and the (epoch, recons) eval history are in the
+    # checkpoint, so a kill/resume keeps its cooldown + descent baseline.
+    assert int(np.asarray(restored["epoch"])) == 3
+    assert int(np.asarray(restored["rescue_epoch"])) == 1
+    hist = np.asarray(restored["recons_history"])
+    assert hist.ndim == 2 and hist.shape[1] == 2 and hist.shape[0] >= 3
     # The pinned background is the pixelwise train-split median and is
     # FROZEN: two post-surgery epochs must not have moved it (the
     # bg_lr_mult=0 optimizer branch zeroes its updates).
@@ -205,6 +212,7 @@ def test_auto_rescue_in_training(tiny_spring_data, tmp_path):
     ])
     log = open(os.path.join(save_dir, "log.txt")).read()
     assert "auto_rescue state restored" in log
+    assert "auto_rescue stall-guard history restored" in log
     assert log.count("auto_rescue: epoch") == 1
 
 
