@@ -470,8 +470,11 @@ class Trainer(RecipeMixin):
             # descent baseline instead of the conservative blind mode.
             "epoch": jnp.asarray(self._cur_epoch),
             "rescue_epoch": jnp.asarray(self._last_rescue_ep),
-            "recons_history": np.asarray(
-                self._recons_history[-64:], np.float32).reshape(-1, 2)})
+            # Orbax refuses zero-size arrays, so the leaf is present only
+            # once an eval has run (restore treats absence as no history).
+            **({"recons_history": np.asarray(
+                self._recons_history[-64:], np.float32).reshape(-1, 2)}
+               if self._recons_history else {})})
 
     # ----- logging ----------------------------------------------------------
     def add_train_logger(self):
