@@ -170,6 +170,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "of mid-gray) — gives the fresh slot an "
                              "immediate recons gradient toward the "
                              "unexplained object (bouncing_balls)")
+    parser.add_argument("--watchdog_secs", type=float, default=0.0,
+                        help="[extension] Exit with code 75 if no "
+                             "train/eval batch completes for this many "
+                             "seconds (hung accelerator-tunnel RPC); a "
+                             "supervisor can then resume the run with "
+                             "--use_ckpt. Must exceed the slowest single "
+                             "XLA compile on the target (900 is safe "
+                             "for the TPU tunnel). 0 = off")
+    parser.add_argument("--resume_remaining_epochs", action="store_true",
+                        help="[extension] With --use_ckpt: subtract the "
+                             "checkpoint's saved epoch from --epochs so "
+                             "a crash-resumed run finishes the original "
+                             "schedule instead of training --epochs more")
     parser.add_argument("--discovery_restarts", type=int, default=0,
                         help="[extension] Random-restart discovery: train "
                              "N independent arms (fresh params/optimizer "
@@ -408,11 +421,19 @@ def main(argv=None):
         trainer.rescue_disk_radius = args.rescue_disk_radius
         trainer.rescue_seed_color = args.rescue_seed_color
         trainer.max_rescues = args.max_rescues
+        trainer.watchdog_secs = args.watchdog_secs
         if args.aux_on_recons > 0:
             trainer.set_aux_trigger(args.aux_on_recons)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
                                  args.ckpt_dir)
         remaining = args.epochs
+        if args.use_ckpt and args.resume_remaining_epochs:
+            remaining = max(1, args.epochs - trainer._epoch_base)
+            if trainer._epoch_base:
+                logging.getLogger("paig").info(
+                    "resume_remaining_epochs: checkpoint chain has %d "
+                    "epochs done, training %d more",
+                    trainer._epoch_base, remaining)
         if args.discovery_restarts > 0 and not args.use_ckpt:
             # Counted against --epochs; cap so at least one normal epoch
             # (and its final checkpoint save) always remains.
@@ -438,6 +459,7 @@ def main(argv=None):
         os.path.join(data_root, test_data_file), conv=True,
         datapoints=args.datapoints)
     trainer = Trainer(model, mesh=mesh, seed=args.seed)
+    trainer.watchdog_secs = args.watchdog_secs
     trainer.get_data(data_iterators)
     trainer.init_params(data_iterators[0].X[:1])
     trainer.build_optimizer(args.base_lr, args.optimizer, args.anneal_lr)

@@ -59,6 +59,7 @@ class RecipeMixin:
         target = self.train_iterator.epochs_completed + n_epochs
         warmup = jnp.asarray(self.aux_warmup_steps, jnp.int32)
         while self.train_iterator.epochs_completed < target:
+            self._wd_pet()
             if use_fused:
                 # Same dispatch helper as train_model's hot loop — chunk
                 # semantics must not drift between the two.
@@ -82,6 +83,7 @@ class RecipeMixin:
             batch_size = n
         raw = getattr(it, "raw_uint8", None)
         if self._fused_eval_enabled(it, batch_size):
+            self._wd_pet()
             self._ensure_eval_u8("valid", raw)
             idxs = it.next_index_batches(batch_size, 10 ** 9).astype(
                 np.int32)
@@ -91,6 +93,7 @@ class RecipeMixin:
             return float(np.asarray(m["eval_recons_loss"]).mean())
         vals = []
         while it.get_epoch() < 1:
+            self._wd_pet()
             feed_dict, _ = self.get_batch(batch_size, it)
             m = self._eval_step(self.params,
                                 self._put_batch(feed_dict["input"]))

@@ -148,6 +148,15 @@ class Trainer(RecipeMixin):
         # --discovery_restarts phase); the rescue's remaining-horizon LR
         # schedule rebuild must subtract them.
         self._epochs_consumed = 0
+        # --watchdog_secs: heartbeat timeout for hung accelerator RPCs
+        # (0 = off). Created lazily on the first _wd_pet so short/test
+        # uses never spawn the thread (train/watchdog.py).
+        self.watchdog_secs = 0.0
+        self._watchdog = None
+        # Cumulative epochs finished by the checkpoint chain this run
+        # resumed (0 for a fresh run); lets --resume_remaining_epochs
+        # finish the original schedule across repeated crash-resumes.
+        self._epoch_base = 0
         self.params = None
         self.opt_state = None
         self.step = 0
@@ -395,6 +404,7 @@ class Trainer(RecipeMixin):
                       "rescue_step": jnp.asarray(-1),
                       "rescue_count": jnp.asarray(-1),
                       "epoch": jnp.asarray(0),
+                      "total_epochs_done": jnp.asarray(0),
                       "rescue_epoch": jnp.asarray(-(10 ** 9))}
             restored = restore_checkpoint(restore_dir, target)
             self.params = restored["params"]
@@ -407,6 +417,11 @@ class Trainer(RecipeMixin):
             # frame (rescue at saved-epoch 450 of an 800-epoch run
             # becomes -350: its cooldown is long spent).
             ep_saved = int(restored["epoch"])
+            # Cumulative schedule position across a chain of resumes
+            # (pre-extension checkpoints carry only the run-local epoch;
+            # for an unresumed saver the two are equal).
+            self._epoch_base = max(int(restored["total_epochs_done"]),
+                                   ep_saved)
             hist = peek_checkpoint_leaf(restore_dir, "recons_history")
             if hist is not None and np.size(hist):
                 self._recons_history = [
@@ -469,6 +484,8 @@ class Trainer(RecipeMixin):
             # resumed run's frame so a kill/resume keeps its cooldown and
             # descent baseline instead of the conservative blind mode.
             "epoch": jnp.asarray(self._cur_epoch),
+            "total_epochs_done": jnp.asarray(
+                self._epoch_base + self._cur_epoch),
             "rescue_epoch": jnp.asarray(self._last_rescue_ep),
             # Orbax refuses zero-size arrays, so the leaf is present only
             # once an eval has run (restore treats absence as no history).
@@ -611,6 +628,19 @@ class Trainer(RecipeMixin):
                 raw, jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec()))
 
+    def _wd_pet(self):
+        """Heartbeat for the hung-RPC watchdog (--watchdog_secs). Called
+        once per dispatched batch/chunk by every train/eval loop; the
+        first call arms the monitor thread."""
+        wd = self._watchdog
+        if wd is None:
+            if self.watchdog_secs <= 0:
+                return
+            from paig_reproduction_tpu.train.watchdog import DeviceWatchdog
+            wd = self._watchdog = DeviceWatchdog(self.watchdog_secs)
+            wd.start()
+        wd.pet()
+
     def train_model(self, epochs, batch_size, save_every_n_epochs,
                     eval_every_n_epochs, print_interval, debug=False):
         """Reference train loop semantics (base.py:112-172): pre-train
@@ -689,6 +719,7 @@ class Trainer(RecipeMixin):
             self._cur_epoch = ep
             while (native.epochs_completed if native is not None
                    else self.train_iterator.epochs_completed) < ep:
+                self._wd_pet()
                 if native is not None:
                     batch = self._put_batch(native.next_batch_x())
                     self.params, self.opt_state, metrics = \
@@ -864,6 +895,7 @@ class Trainer(RecipeMixin):
         raw = getattr(eval_iterator, "raw_uint8", None)
         use_fused = self._fused_eval_enabled(eval_iterator, batch_size)
         if use_fused:
+            self._wd_pet()
             self._ensure_eval_u8(type, raw)
             # All index batches of one epoch (the iterator drops the
             # ragged tail, matching reference epoch semantics).
@@ -880,6 +912,7 @@ class Trainer(RecipeMixin):
             per_batch = {k: [] for k in keys}
             input_parts = []
             while eval_iterator.get_epoch() < 1:
+                self._wd_pet()
                 feed_dict, _ = self.get_batch(batch_size, eval_iterator)
                 batch = self._put_batch(feed_dict["input"])
                 m = self._eval_step(self.params, batch)

@@ -150,6 +150,39 @@ def test_resume_from_checkpoint(tiny_spring_data, tmp_path):
     assert os.path.exists(os.path.join(save_dir, "log.txt"))
 
 
+def test_resume_remaining_epochs(tiny_spring_data, tmp_path):
+    """--resume_remaining_epochs finishes the ORIGINAL --epochs schedule
+    across a crash/resume chain (the watchdog's exit-75 supervisor path)
+    by carrying a cumulative total_epochs_done leaf in the checkpoint."""
+    from paig_reproduction_tpu.cli import main
+    from paig_reproduction_tpu.train.checkpoint import peek_checkpoint_leaf
+
+    save_dir = str(tmp_path / "runw")
+    os.environ["PAIG_VIZ_EXAMPLES"] = "1"
+    common = [
+        "--task=spring_color", "--batch_size=8", "--save_dir", save_dir,
+        "--base_lr=3e-4", "--autoencoder_loss=3.0", "--color",
+        "--save_every_n_epochs=1", "--eval_every_n_epochs=5",
+        "--print_interval=1", "--data_dir", tiny_spring_data, "--debug",
+    ]
+    main(common + ["--epochs=2"])          # "crashed" after 2 of 3
+    assert int(np.asarray(peek_checkpoint_leaf(
+        save_dir, "total_epochs_done"))) == 2
+    main(common + ["--epochs=3", "--use_ckpt",
+                   "--resume_remaining_epochs"])
+    # The resume trained exactly 3-2=1 epoch and the chain total is 3.
+    log = open(os.path.join(save_dir, "log.txt")).read()
+    assert "epochs done, training 1 more" in log
+    assert int(np.asarray(peek_checkpoint_leaf(
+        save_dir, "total_epochs_done"))) == 3
+    # A further resume with the schedule already complete trains the
+    # floor of 1 epoch (never 0: the final save must still happen).
+    main(common + ["--epochs=3", "--use_ckpt",
+                   "--resume_remaining_epochs"])
+    assert int(np.asarray(peek_checkpoint_leaf(
+        save_dir, "total_epochs_done"))) == 4
+
+
 def test_auto_rescue_in_training(tiny_spring_data, tmp_path):
     """--auto_rescue: a stalled-discovery eval triggers in-place slot
     surgery (disk templates + pinned median background), freezes the
