@@ -704,10 +704,15 @@ class Trainer(RecipeMixin):
             nonlocal pending_metrics
             tail = [pending_metrics.pop()] if (keep_last
                                                and pending_metrics) else []
-            for metrics_d, step0, n_done in pending_metrics:
-                if any((step0 + i) % print_interval == 0
-                       for i in range(n_done)):
-                    host = jax.device_get(metrics_d)
+            todo = [entry for entry in pending_metrics
+                    if any((entry[1] + i) % print_interval == 0
+                           for i in range(entry[2]))]
+            if todo:
+                # One transfer for every pending chunk (device_get takes
+                # a pytree): a drain of D chunks costs one tunnel
+                # round-trip, not D.
+                fetched = jax.device_get([m for m, _, _ in todo])
+                for host, (_, step0, n_done) in zip(fetched, todo):
                     for i in range(n_done):
                         if (step0 + i) % print_interval == 0:
                             m = {kk: float(v[i])
