@@ -241,15 +241,23 @@ class RecipeMixin:
             return
         m = self.model
         host = jax.tree.map(np.asarray, self.params)
-        health = surgery.slot_health(host, m.n_objs, m.tmpl_size,
-                                     template_init=m.template_init)
-        slots = surgery.select_dead_slots(health,
-                                          tmpl_px=m.tmpl_size ** 2)
-        radius = self.rescue_disk_radius or (
-            9.0 if m.img_size >= 64 else 3.0)
         raw = getattr(self.train_iterator, "raw_uint8", None)
         frames = raw if raw is not None else self.train_iterator.X
         bg = surgery.median_background(frames)
+        health = surgery.slot_health(host, m.n_objs, m.tmpl_size,
+                                     template_init=m.template_init)
+        # Salience catches the big-mask / background-colored-content
+        # slot (bounce_one1: health [44, 215] but slot 1 painted black
+        # on the black background — mask mass alone reset the one slot
+        # that tracked a ball; round-5 dry-run on the real checkpoint).
+        salience = surgery.slot_salience(host, m.n_objs, m.tmpl_size,
+                                         m.conv_ch, bg,
+                                         template_init=m.template_init)
+        slots = surgery.select_dead_slots(health,
+                                          tmpl_px=m.tmpl_size ** 2,
+                                          salience=salience)
+        radius = self.rescue_disk_radius or (
+            9.0 if m.img_size >= 64 else 3.0)
         # --rescue_seed_color: seed each reset slot's contents with the
         # residual color cluster no healthy slot explains. Measured
         # motivation (bounce_one1 + bounce_probe_overlap): a mid-gray
@@ -289,10 +297,11 @@ class RecipeMixin:
         self._rescue_step = self.step
         logger.info(
             "auto_rescue: epoch %d valid recons %.3f > %.3f — slot "
-            "health %s; reset slot(s) %s to disk priors (r=%.1f), "
+            "health %s salience %s; reset slot(s) %s to disk priors (r=%.1f), "
             "pinned the median background and froze it (bg_lr_mult=0), "
             "optimizer state re-initialized (rescue %d/%d)%s", ep, recons,
-            self.rescue_recons, [int(v) for v in health], slots, radius,
+            self.rescue_recons, [int(v) for v in health],
+            [round(float(v), 3) for v in salience], slots, radius,
             self._rescue_count, self.max_rescues,
             "; seed colors " + str(
                 {s: np.round(c, 3).tolist() for s, c in seeds.items()})

@@ -171,11 +171,44 @@ def slot_health(params: Dict, n_objs: int, tmpl_size: int,
     return (t > 1.0).sum(axis=(1, 2)).astype(np.float64)
 
 
+def slot_salience(params: Dict, n_objs: int, tmpl_size: int,
+                  conv_ch: int, bg: np.ndarray,
+                  template_init: float = 0.0) -> np.ndarray:
+    """Per-slot mean L-inf distance of the decoder-visible content from
+    the mean background color, in [0, 1].
+
+    Mask mass alone misses a measured fourth stall mode (bounce_one1,
+    round 5): a slot can hold a LARGE visible mask whose content is
+    background-colored — it composites background over background and
+    explains no object, yet ranks "healthiest" by pixel count, so the
+    rescue resets the one slot that was actually tracking a ball.
+    Weighting by content salience (same 0.1 L-inf residual criterion as
+    ``object_pixel_colors``) classifies that slot as dead instead."""
+    t = var_net_forward(params, "var_net_template").reshape(
+        n_objs, tmpl_size, tmpl_size)
+    t = t + template_prior_logits(tmpl_size, template_init)[None]
+    w = (t > 1.0).astype(np.float32)[..., None]
+    c = var_net_forward(params, "var_net_content").reshape(
+        n_objs, tmpl_size, tmpl_size, conv_ch)
+    c = 1.0 / (1.0 + np.exp(-c))
+    bg_color = np.asarray(bg, np.float32).reshape(-1, conv_ch).mean(axis=0)
+    dist = np.abs(c - bg_color[None, None, None]).max(
+        axis=-1, keepdims=True)
+    tot = w.sum(axis=(1, 2, 3))
+    return np.where(tot > 0,
+                    (dist * w).sum(axis=(1, 2, 3)) / np.maximum(tot, 1),
+                    0.0).astype(np.float64)
+
+
 def select_dead_slots(health: np.ndarray,
                       dead_frac: float = 0.25,
                       tmpl_px: int = 0,
-                      balloon_frac: float = 0.5) -> list:
-    """Which slots to rescue given ``slot_health`` output.
+                      balloon_frac: float = 0.5,
+                      salience: np.ndarray = None,
+                      salience_thresh: float = 0.1) -> list:
+    """Which slots to rescue given ``slot_health`` output (and
+    optionally ``slot_salience``, which catches the big-mask /
+    background-colored-content mode mask mass cannot see).
 
     Three measured stall modes, three policies:
 
@@ -198,8 +231,17 @@ def select_dead_slots(health: np.ndarray,
     Shared by the in-training --auto_rescue hook and the offline tool."""
     health = np.asarray(health, np.float64)
     n = health.shape[0]
-    dead = [i for i in range(n)
-            if health[i] < dead_frac * max(float(health.max()), 1.0)]
+    if salience is not None:
+        # Salience subsumes the mask-mass ratio: a zero-mask slot scores
+        # salience 0 (dead as before), while a small-but-salient slot is
+        # doing real work and must NOT be reset just for being small
+        # (bounce_one1: health [44, 215], the 44-px slot tracked the
+        # blue ball and the 215-px slot painted black on black).
+        dead = [i for i in range(n)
+                if float(salience[i]) < salience_thresh]
+    else:
+        dead = [i for i in range(n)
+                if health[i] < dead_frac * max(float(health.max()), 1.0)]
     if dead:
         return dead
     if tmpl_px <= 0 or all(h > balloon_frac * tmpl_px for h in health):

@@ -134,3 +134,47 @@ def test_slot_content_colors_weighted_by_visible_mask():
     cols = surgery.slot_content_colors(p, n_objs, tmpl, ch)
     np.testing.assert_allclose(cols[0], [0.9, 0.1, 0.1], atol=1e-3)
     np.testing.assert_allclose(cols[1], [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_slot_salience_catches_background_colored_content():
+    """The bounce_one1 mode (round 5): slot 1 has the LARGER visible
+    mask but paints background-colored content — mask mass ranks it
+    healthiest, salience must rank it dead."""
+    n_objs, tmpl, ch = 2, 8, 3
+    p = make_params(n_objs, tmpl, ch)
+    # slot 0: small-ish blue disk; slot 1: bigger disk, black content
+    p = surgery.rescue_slot(p, 0, n_objs, tmpl, ch, radius=2.0,
+                            content_rgb=(0.0, 0.0, 0.9))
+    p = surgery.rescue_slot(p, 1, n_objs, tmpl, ch, radius=3.5,
+                            content_rgb=(0.02, 0.02, 0.02))
+    bg = np.zeros((16, 16, ch), np.float32)           # black background
+    health = surgery.slot_health(p, n_objs, tmpl)
+    assert health[1] > health[0]                      # the trap
+    sal = surgery.slot_salience(p, n_objs, tmpl, ch, bg)
+    assert sal[0] > 0.5 and sal[1] < 0.1, sal
+    assert surgery.select_dead_slots(
+        health, tmpl_px=tmpl * tmpl, salience=sal) == [1]
+    # same templates over a WHITE background: now the dark slot is the
+    # salient one and the rule flips
+    sal_w = surgery.slot_salience(p, n_objs, tmpl, ch,
+                                  np.ones((16, 16, ch), np.float32))
+    assert sal_w[1] > 0.5, sal_w
+
+
+def test_select_dead_slots_salience_modes():
+    h = np.array([44.0, 215.0])
+    # without salience: partial-discovery rule resets the weak slot
+    assert surgery.select_dead_slots(h, tmpl_px=256) == [0]
+    # with salience: the content-dead big slot is reset instead
+    assert surgery.select_dead_slots(
+        h, tmpl_px=256, salience=np.array([0.8, 0.01])) == [1]
+    # both content-dead -> both reset
+    assert surgery.select_dead_slots(
+        h, tmpl_px=256, salience=np.array([0.05, 0.01])) == [0, 1]
+    # salient everywhere -> falls through to the partial-discovery rule
+    assert surgery.select_dead_slots(
+        h, tmpl_px=256, salience=np.array([0.8, 0.9])) == [0]
+    # a zero-mask slot scores salience 0 -> dead, as under the old rule
+    assert surgery.select_dead_slots(
+        np.array([0.0, 215.0]), tmpl_px=256,
+        salience=np.array([0.0, 0.9])) == [0]
