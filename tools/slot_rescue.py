@@ -47,8 +47,11 @@ def main(argv=None):
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--task", required=True, choices=sorted(TASK_TABLE))
     ap.add_argument("--rescue_slot", default="",
-                    help="'auto' (weakest template), 'all', a comma list "
-                         "of slot indices, or '' to skip slot surgery")
+                    help="'auto' (measured-failure-mode policy: dead / "
+                         "content-dead / ballooned / least-healthy; "
+                         "salience-aware when --set_background=median "
+                         "supplies frames), 'all', a comma list of slot "
+                         "indices, or '' to skip slot surgery")
     ap.add_argument("--disk_radius", type=float, default=9.0,
                     help="template-disk prior radius (template px)")
     ap.add_argument("--template_init", type=float, default=0.0,
@@ -84,9 +87,28 @@ def main(argv=None):
                                  template_init=args.template_init)
     print(f"slot template mask mass (px): {health}")
 
+    # With train frames on hand (--set_background=median), 'auto' slot
+    # selection uses content salience: mask mass alone marks a
+    # big-mask/background-colored slot healthiest (bounce_one1 mode).
+    salience = None
+    frames = bg = None
+    if args.set_background == "median":
+        root = args.data_dir or os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.realpath(__file__))), "data", "datasets")
+        data_file = TASK_TABLE[args.task][0]
+        with np.load(os.path.join(root, data_file)) as d:
+            frames = d[d.files[0]]
+        bg = surgery.median_background(frames)
+        salience = surgery.slot_salience(params, n_objs, tmpl, ch, bg,
+                                         template_init=args.template_init)
+        print(f"slot content salience vs background: "
+              f"{np.round(salience, 3)}")
+
     if args.rescue_slot != "":
         if args.rescue_slot == "auto":
-            slots = [int(np.argmin(health))]
+            slots = surgery.select_dead_slots(
+                health, tmpl_px=tmpl * tmpl, salience=salience)
         elif args.rescue_slot == "all":
             slots = list(range(n_objs))
         else:
@@ -101,15 +123,7 @@ def main(argv=None):
                                          template_init=args.template_init)
 
     if args.set_background:
-        if args.set_background == "median":
-            root = args.data_dir or os.path.join(
-                os.path.dirname(os.path.dirname(
-                    os.path.realpath(__file__))), "data", "datasets")
-            data_file = TASK_TABLE[args.task][0]
-            with np.load(os.path.join(root, data_file)) as d:
-                frames = d[d.files[0]]
-            bg = surgery.median_background(frames)
-        else:
+        if args.set_background != "median":
             bg = np.load(args.set_background)
         assert bg.shape == (img, img, ch), bg.shape
         print(f"installing background (mean {bg.mean():.3f}) "
