@@ -7,8 +7,10 @@
 # epoch 63 (thresholds 30 / 1.5), confirming the 400-epoch recipe.
 #
 # That incident is now a framework feature instead of a babysitting job:
-# every run gets --watchdog_secs=900 (train/watchdog.py exits 75 when no
-# batch completes for 15 min), and run() treats exit 75 as retryable —
+# every run gets --watchdog_secs (train/watchdog.py exits 75 when no
+# batch completes in time; 2100s for 3bp/bounce — the 3bp first
+# fused-chunk compile measured >911s and false-positived a 900s
+# watchdog), and run() treats exit 75 as retryable —
 # wait for the backend, resume from the run's own checkpoint with
 # --use_ckpt --resume_remaining_epochs (or start fresh if it died before
 # the first save).
@@ -113,7 +115,7 @@ run 3bp_one2 9600 3600 --task=3bp_color --epochs=2300 --batch_size=100 \
   --learn_frame_offset \
   --init_state_fit=3 --refine_recons_pos=4 --enhancers_eval_only \
   --auto_rescue=500 --max_rescues=1 --save_every_n_epochs=100 \
-  --watchdog_secs=900
+  --watchdog_secs=2100
 
 # 4. bounce NEW-lever probe (VERDICT r4 next-4): --rescue_seed_color on
 #    the collapsed bounce_one1 ckpt. Signal: valid recons < 10.4 plateau.
@@ -122,6 +124,6 @@ run bounce_seed_probe 3600 900 --task=bouncing_balls --epochs=1200 \
   --use_ckpt --ckpt_dir=runs/bounce_one1 --bg_lr_mult=0 \
   --rescue_seed_color --auto_rescue=10 --max_rescues=3 \
   --aux_on_recons=3.5 --learn_frame_offset --save_every_n_epochs=50 \
-  --watchdog_secs=900
+  --watchdog_secs=2100
 
 echo "=== queue r5d complete $(date -u) ==="
