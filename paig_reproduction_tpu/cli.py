@@ -178,6 +178,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "--use_ckpt. Must exceed the slowest single "
                              "XLA compile on the target (900 is safe "
                              "for the TPU tunnel). 0 = off")
+    parser.add_argument("--watchdog_floor_secs", type=float, default=0.0,
+                        help="[extension] Adaptive watchdog: once the "
+                             "loop is in steady state, tighten the "
+                             "effective timeout to ~100x the observed "
+                             "batch interval, never below this floor "
+                             "(covers mid-run graph recompiles; >=300 "
+                             "recommended cold, less with a warm compile "
+                             "cache) and never above --watchdog_secs. "
+                             "Cuts wedge detection from the compile-"
+                             "sized ceiling to minutes. 0 = fixed "
+                             "timeout only")
     parser.add_argument("--resume_remaining_epochs", action="store_true",
                         help="[extension] With --use_ckpt: subtract the "
                              "checkpoint's saved epoch from --epochs so "
@@ -422,6 +433,7 @@ def main(argv=None):
         trainer.rescue_seed_color = args.rescue_seed_color
         trainer.max_rescues = args.max_rescues
         trainer.watchdog_secs = args.watchdog_secs
+        trainer.watchdog_floor_secs = args.watchdog_floor_secs
         if args.aux_on_recons > 0:
             trainer.set_aux_trigger(args.aux_on_recons)
         trainer.initialize_graph(args.save_dir, args.use_ckpt,
@@ -460,6 +472,7 @@ def main(argv=None):
         datapoints=args.datapoints)
     trainer = Trainer(model, mesh=mesh, seed=args.seed)
     trainer.watchdog_secs = args.watchdog_secs
+    trainer.watchdog_floor_secs = args.watchdog_floor_secs
     trainer.get_data(data_iterators)
     trainer.init_params(data_iterators[0].X[:1])
     trainer.build_optimizer(args.base_lr, args.optimizer, args.anneal_lr)

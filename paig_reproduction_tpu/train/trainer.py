@@ -637,7 +637,9 @@ class Trainer(RecipeMixin):
             if self.watchdog_secs <= 0:
                 return
             from paig_reproduction_tpu.train.watchdog import DeviceWatchdog
-            wd = self._watchdog = DeviceWatchdog(self.watchdog_secs)
+            wd = self._watchdog = DeviceWatchdog(
+                self.watchdog_secs,
+                adaptive_floor_secs=getattr(self, "watchdog_floor_secs", 0.0))
             wd.start()
         wd.pet()
 

@@ -25,7 +25,8 @@ FLAGS=(--task=bouncing_balls --epochs=550 --batch_size=100
   --pos_consistency=1.0 --vel_anchor=1.0 --learn_frame_offset
   --init_state_fit=1 --refine_enc_pos=4 --refine_recons_pos=4
   --enhancers_eval_only --auto_rescue=150 --max_rescues=2
-  --rescue_seed_color --save_every_n_epochs=50 --watchdog_secs=900)
+  --rescue_seed_color --save_every_n_epochs=50 --watchdog_secs=900
+  --watchdog_floor_secs=300)
 
 attempt=0
 while [ "$attempt" -lt 5 ]; do
